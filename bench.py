@@ -1,0 +1,70 @@
+"""Benchmark: EfficientSAM3 EV-M image PCS inference latency on one TPU chip.
+
+Measures the full text-prompted grounding step (student trunk + neck +
+LiteText tower + geometry + fusion encoder + decoder + seg head + scoring)
+at the reference resolution 1008x1008, batch 1, bf16 compute.
+
+The reference publishes no latency numbers (BASELINE.md) — the anchor is
+this project's north star of 10 ms/frame for EV-M on one v5e chip, so
+vs_baseline = 10.0 / measured_ms (>1 beats the target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+NORTH_STAR_MS = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from efficientsam3_tpu.build import build_efficientsam3_image_model
+    from efficientsam3_tpu.models.geometry import Prompt
+
+    model = build_efficientsam3_image_model(
+        backbone_type="efficientvit",
+        model_name="b1",
+        text_encoder_type="MobileCLIP-S0",
+        text_encoder_context_length=32,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 1008, 1008, 3), jnp.float32)
+    tokens = jnp.zeros((1, 32), jnp.int32)
+    prompt = Prompt.empty(1, 4, 4)
+
+    variables = jax.jit(model.init)(rng, img, tokens, prompt)
+
+    @jax.jit
+    def infer(variables, img, tokens, prompt):
+        out = model.apply(variables, img, tokens, prompt)
+        return out["pred_logits"], out["pred_boxes"], out["pred_masks"]
+
+    # warmup / compile
+    out = infer(variables, img, tokens, prompt)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, img, tokens, prompt)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "ev_m_image_pcs_latency",
+                "value": round(ms, 3),
+                "unit": "ms/frame",
+                "vs_baseline": round(NORTH_STAR_MS / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,407 @@
+"""Shared nn primitives (flax.linen, NHWC / (B, N, C) layouts).
+
+Numerics match the reference's torch modules so released checkpoints convert
+losslessly (see efficientsam3_tpu/utils/torch_convert.py). Citations point at
+the torch definitions these mirror:
+  - MLP / MLPBlock / LayerNorm2d: reference sam3/sam3/sam/common.py:9-39,
+    sam3/sam3/sam/mask_decoder.py:297, sam3/sam3/model/model_misc.py:160
+  - Attention / RoPEAttention: reference sam3/sam3/sam/transformer.py:185,267
+  - rope: reference sam3/sam3/sam/rope.py:17-78
+  - PositionEmbeddingSine / Random: reference
+    sam3/sam3/model/position_encoding.py:10, sam3/sam3/sam/prompt_encoder.py:200
+
+TPU-first notes: attention runs as batched einsums with fp32 softmax
+(bf16-safe, MXU-tiled by XLA); rotary encodings are precomputed cos/sin
+tables that constant-fold under jit (no complex dtype); sine embeddings are
+pure functions of static shapes, so XLA folds them into constants instead of
+the reference's Python-side cache.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def gelu_exact(x):
+    """torch nn.GELU default (erf form, not tanh approximation)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT = {
+    "relu": jax.nn.relu,
+    "gelu": gelu_exact,
+}
+
+
+class MLP(nn.Module):
+    """Detectron-style MLP: ReLU between layers, optional extras.
+
+    Mirrors reference sam3/sam3/sam/mask_decoder.py:297 (plain) and
+    sam3/sam3/model/model_misc.py:160 (dropout/residual/out_norm variant used
+    by DotProductScoring).
+    """
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dropout: float = 0.0
+    residual: bool = False
+    out_norm: bool = False
+    activation: Callable = jax.nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        inp = x
+        for i in range(self.num_layers):
+            is_last = i == self.num_layers - 1
+            dim = self.output_dim if is_last else self.hidden_dim
+            x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
+            if not is_last:
+                x = self.activation(x)
+                if self.dropout > 0.0:
+                    x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.residual:
+            x = x + inp
+        if self.out_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm_ln")(x)
+        if self.sigmoid_output:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class MLPBlock(nn.Module):
+    """lin1 -> act -> lin2 (reference sam3/sam3/sam/common.py:9)."""
+
+    mlp_dim: int
+    activation: Callable = gelu_exact
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="lin1")(x)
+        x = self.activation(x)
+        return nn.Dense(d, dtype=self.dtype, name="lin2")(x)
+
+
+class LayerNorm2d(nn.Module):
+    """Channel LayerNorm over NHWC input (reference sam/common.py:27, eps 1e-6)."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        u = xf.mean(-1, keepdims=True)
+        s = jnp.square(xf - u).mean(-1, keepdims=True)
+        xf = (xf - u) * jax.lax.rsqrt(s + self.epsilon)
+        return (w * xf + b).astype(x.dtype)
+
+
+def sdpa(q, k, v, mask=None, bias=None):
+    """Scaled dot-product attention over (B, H, N, D) with fp32 softmax.
+
+    ``mask``: bool, True = attend. ``bias``: additive logits bias.
+    """
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class Attention(nn.Module):
+    """SAM-style attention with projection downsampling.
+
+    Mirrors reference sam3/sam3/sam/transformer.py:185 — separate
+    q/k/v/out linear layers, optional kv input dim, internal dim =
+    embedding_dim // downsample_rate.
+    """
+
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def internal_dim(self):
+        return self.embedding_dim // self.downsample_rate
+
+    def project(self, q, k, v):
+        qp = nn.Dense(self.internal_dim, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(self.internal_dim, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(self.internal_dim, dtype=self.dtype, name="v_proj")(v)
+        return (
+            split_heads(qp, self.num_heads),
+            split_heads(kp, self.num_heads),
+            split_heads(vp, self.num_heads),
+        )
+
+    def output(self, o):
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(
+            merge_heads(o)
+        )
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        qh, kh, vh = self.project(q, k, v)
+        return self.output(sdpa(qh, kh, vh))
+
+
+# --------------------------------------------------------------------------
+# Rotary position encoding (axial 2D), real-valued.
+# --------------------------------------------------------------------------
+
+
+def compute_axial_rope_cos_sin(dim: int, end_x: int, end_y: int, theta: float = 10000.0):
+    """Axial rope tables; returns (cos, sin) each (end_x*end_y, dim//2).
+
+    Matches reference sam3/sam3/sam/rope.py:24 `compute_axial_cis`: the first
+    dim//4 frequency slots encode x position, the rest encode y.
+    """
+    quarter = dim // 4
+    freqs = 1.0 / (theta ** (jnp.arange(0, quarter, dtype=jnp.float32) * 4.0 / dim))
+    t = jnp.arange(end_x * end_y, dtype=jnp.float32)
+    t_x = t % end_x
+    t_y = jnp.floor(t / end_x)
+    ang_x = jnp.outer(t_x, freqs)
+    ang_y = jnp.outer(t_y, freqs)
+    ang = jnp.concatenate([ang_x, ang_y], axis=-1)  # (N, dim//2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x, cos, sin):
+    """Rotate adjacent pairs of the last dim: matches torch view_as_complex.
+
+    x: (..., N, D); cos/sin: (N, D//2) broadcast over leading dims.
+    """
+    x2 = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+    a, b = x2[..., 0], x2[..., 1]
+    ra = a * cos - b * sin
+    rb = a * sin + b * cos
+    out = jnp.stack([ra, rb], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+class RoPEAttention(Attention):
+    """Attention with axial rotary encoding on q/k.
+
+    Mirrors reference sam3/sam3/sam/transformer.py:267. ``rope_k_repeat``
+    tiles the frequency table along k's sequence (cross-attention to a
+    memory bank of repeated spatial maps); ``num_k_exclude_rope`` skips the
+    trailing k tokens (object pointers) — here a static int so shapes stay
+    fixed under jit.
+    """
+
+    rope_theta: float = 10000.0
+    rope_k_repeat: bool = False
+    feat_sizes: tuple = (64, 64)
+
+    @nn.compact
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+        qh, kh, vh = self.project(q, k, v)
+        n_q = qh.shape[-2]
+        head_dim = self.internal_dim // self.num_heads
+        side = int(round(math.sqrt(n_q)))
+        cos, sin = compute_axial_rope_cos_sin(head_dim, side, side, self.rope_theta)
+        qh = apply_rope(qh, cos, sin)
+        n_k = kh.shape[-2]
+        num_k_rope = n_k - num_k_exclude_rope
+        if num_k_rope != n_q:
+            assert self.rope_k_repeat, "k/q length mismatch requires rope_k_repeat"
+            r = num_k_rope // n_q
+            cos_k = jnp.tile(cos, (r, 1))
+            sin_k = jnp.tile(sin, (r, 1))
+        else:
+            cos_k, sin_k = cos, sin
+        k_rope = apply_rope(kh[..., :num_k_rope, :], cos_k, sin_k)
+        kh = jnp.concatenate([k_rope, kh[..., num_k_rope:, :]], axis=-2)
+        return self.output(sdpa(qh, kh, vh))
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention-parity module (batch-first, same dims).
+
+    The converter splits torch's packed in_proj_weight into q/k/v here.
+    Supports additive attention masks and key padding masks.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, q, k, v, key_padding_mask=None, attn_mask=None):
+        """key_padding_mask: (B, Nk) bool, True = PAD (torch convention).
+
+        attn_mask: additive float (..., Nq, Nk) or bool (True = masked).
+        """
+        qp = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(q)
+        kp = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(k)
+        vp = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(v)
+        qh = split_heads(qp, self.num_heads)
+        kh = split_heads(kp, self.num_heads)
+        vh = split_heads(vp, self.num_heads)
+        mask = None
+        bias = None
+        if key_padding_mask is not None:
+            mask = ~key_padding_mask[:, None, None, :]
+        if attn_mask is not None:
+            if attn_mask.dtype == jnp.bool_:
+                am = ~attn_mask
+                mask = am if mask is None else (mask & am)
+            else:
+                bias = attn_mask
+        out = sdpa(qh, kh, vh, mask=mask, bias=bias)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(
+            merge_heads(out)
+        )
+
+
+# --------------------------------------------------------------------------
+# Position embeddings
+# --------------------------------------------------------------------------
+
+
+def sine_pos_embed_2d(
+    h: int,
+    w: int,
+    num_pos_feats: int = 256,
+    temperature: float = 10000.0,
+    normalize: bool = True,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """(H, W, num_pos_feats) sine embedding, reference position_encoding.py:90.
+
+    Pure function of static shapes -> constant-folded by XLA under jit.
+    """
+    npf = num_pos_feats // 2
+    if scale is None:
+        scale = 2 * math.pi
+    y = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None]
+    x = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :]
+    y = jnp.broadcast_to(y, (h, w))
+    x = jnp.broadcast_to(x, (h, w))
+    if normalize:
+        eps = 1e-6
+        y = y / (h + eps) * scale
+        x = x / (w + eps) * scale
+    dim_t = jnp.arange(npf, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / npf)
+    pos_x = x[:, :, None] / dim_t
+    pos_y = y[:, :, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], axis=-1)
+    pos_x = pos_x.reshape(h, w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1)
+    pos_y = pos_y.reshape(h, w, -1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+def sine_encode_xy(x, y, num_pos_feats: int = 256, temperature: float = 10000.0):
+    """1D sine encodings of normalized coords (position_encoding.py:53).
+
+    x, y: (...,) normalized to [0,1]. Returns (pos_x, pos_y) each (..., npf).
+    """
+    npf = num_pos_feats // 2
+    scale = 2 * math.pi
+    xe = x * scale
+    ye = y * scale
+    dim_t = jnp.arange(npf, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / npf)
+    px = xe[..., None] / dim_t
+    py = ye[..., None] / dim_t
+    px = jnp.stack([jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2])], axis=-1).reshape(
+        *x.shape, npf
+    )
+    py = jnp.stack([jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])], axis=-1).reshape(
+        *y.shape, npf
+    )
+    return px, py
+
+
+def sine_encode_boxes(x, y, w, h, num_pos_feats: int = 256):
+    """(..., 2*npf + 2) box encoding (position_encoding.py:73)."""
+    px, py = sine_encode_xy(x, y, num_pos_feats)
+    return jnp.concatenate([py, px, h[..., None], w[..., None]], axis=-1)
+
+
+def sine_encode_points(x, y, labels, num_pos_feats: int = 256):
+    """(..., 2*npf + 1) point encoding (position_encoding.py:81)."""
+    px, py = sine_encode_xy(x, y, num_pos_feats)
+    return jnp.concatenate([py, px, labels[..., None].astype(px.dtype)], axis=-1)
+
+
+class PositionEmbeddingRandom(nn.Module):
+    """Random-fourier point/grid encoding (sam/prompt_encoder.py:200)."""
+
+    num_pos_feats: int = 64
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """coords: (..., 2) in [0, 1] -> (..., 2 * num_pos_feats)."""
+        gauss = self.param(
+            "positional_encoding_gaussian_matrix",
+            lambda key, shape: self.scale * jax.random.normal(key, shape),
+            (2, self.num_pos_feats),
+        )
+        c = 2.0 * coords.astype(jnp.float32) - 1.0
+        # K=2 contraction expanded elementwise: exact in fp32 and cheaper
+        # than a degenerate (.., 2) @ (2, F) matmul on both TPU and CPU.
+        c = c[..., 0:1] * gauss[0] + c[..., 1:2] * gauss[1]
+        c = 2.0 * jnp.pi * c
+        return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+    def grid(self, h: int, w: int) -> jnp.ndarray:
+        """(H, W, C) dense embedding over the pixel-center grid."""
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        grid = jnp.stack(
+            [jnp.broadcast_to(xs[None, :], (h, w)), jnp.broadcast_to(ys[:, None], (h, w))],
+            axis=-1,
+        )
+        return self(grid)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)

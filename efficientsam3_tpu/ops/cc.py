@@ -1,0 +1,96 @@
+"""Connected components (8-connectivity) on TPU via pointer-jumping.
+
+Replaces the reference's union-find Triton kernel (sam3/sam3/perflib/triton/
+connected_components.py) and the optional cc_torch CUDA extension. Pallas on
+TPU has no global atomics, so union-find does not translate; instead we use
+label propagation with pointer jumping:
+
+  1. init: every foreground pixel's label = its linear index.
+  2. iterate: label <- min over the 8-neighborhood (masked to foreground),
+     then label <- label[label] (path halving) applied twice, which squares
+     propagation distances — convergence in O(log diameter) sweeps.
+  3. fixed point detected with lax.while_loop on "any label changed".
+
+Outputs: labels (H, W) int32, 0 for background, root-index+1 for foreground
+(stable within a component, not compacted); `component_areas` gives per-label
+pixel counts via scatter-add for the reference's small-component filtering
+(fill_holes_in_mask_scores, sam3_tracker_utils.py:392).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_min(lbl, fg):
+    """Min label over the 8-neighborhood + self, restricted to fg."""
+    h, w = lbl.shape
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    padded = jnp.pad(lbl, 1, constant_values=big)
+    best = lbl
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (h, w))
+            best = jnp.minimum(best, shifted)
+    return jnp.where(fg, best, big)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def connected_components(mask, max_iters: int = 64):
+    """mask: (H, W) bool -> labels (H, W) int32 (0 = background)."""
+    h, w = mask.shape
+    fg = mask.astype(bool)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lbl0 = jnp.where(fg, idx, big)
+
+    def jump(lbl):
+        flat = lbl.reshape(-1)
+        safe = jnp.where(flat == big, 0, flat)
+        jumped = jnp.where(flat == big, big, flat[safe])
+        return jumped.reshape(h, w)
+
+    def cond(state):
+        lbl, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(lbl != prev))
+
+    def body(state):
+        lbl, _, it = state
+        new = _neighbor_min(lbl, fg)
+        new = jump(jump(new))
+        return new, lbl, it + 1
+
+    lbl, _, _ = jax.lax.while_loop(
+        cond, body, (lbl0, jnp.full_like(lbl0, -1), jnp.int32(0))
+    )
+    return jnp.where(fg, lbl + 1, 0).astype(jnp.int32)
+
+
+def component_areas(labels):
+    """labels (H, W) int32 (0 = bg) -> areas (H*W + 1,) where areas[l] is the
+    pixel count of label l (index 0 collects background)."""
+    n = labels.shape[0] * labels.shape[1]
+    flat = labels.reshape(-1)
+    return jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
+
+
+def fill_holes_in_mask_scores(mask_scores, max_hole_area: float):
+    """Fill small negative-score holes with a small positive score.
+
+    Mirrors reference sam3_tracker_utils.py:392: background components of the
+    thresholded mask smaller than `max_hole_area` are set to +0.1 (treated as
+    foreground) so tiny holes don't fragment tracked masks.
+
+    mask_scores: (H, W) float logits. Returns patched scores.
+    """
+    is_hole_candidate = mask_scores <= 0
+    labels = connected_components(is_hole_candidate)
+    areas = component_areas(labels)
+    pix_area = areas[labels]
+    is_hole = (labels > 0) & (pix_area <= max_hole_area)
+    return jnp.where(is_hole, 0.1, mask_scores)

@@ -1,0 +1,110 @@
+"""Torch-parity ``roi_align`` in JAX.
+
+The reference's geometry encoder pools box-prompt features with
+``torchvision.ops.roi_align`` (reference sam3/sam3/model/geometry_encoders.py:665,
+aligned=True). This reimplements those semantics from the RoIAlign paper:
+each output bin averages ``sampling_ratio^2`` bilinear samples (or
+ceil(roi_size/out_size)^2 when sampling_ratio <= 0).
+
+TPU-first note: all ROIs are processed as one batched gather — no per-ROI
+Python loop — so the op jits to a single fused gather/arith program with
+static shapes (num_rois is padded by callers).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    output_size: tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """RoIAlign.
+
+    Args:
+      features: (N, C, H, W)
+      boxes: (R, 4) xyxy in input-image coordinates
+      batch_indices: (R,) int batch index per ROI
+      output_size: (out_h, out_w)
+      sampling_ratio: samples per bin per axis; must be > 0 here (static).
+
+    Returns: (R, C, out_h, out_w)
+    """
+    if sampling_ratio <= 0:
+        raise ValueError("static TPU roi_align requires sampling_ratio > 0")
+    n, c, h, w = features.shape
+    out_h, out_w = output_size
+    offset = 0.5 if aligned else 0.0
+
+    x1 = boxes[:, 0] * spatial_scale - offset
+    y1 = boxes[:, 1] * spatial_scale - offset
+    x2 = boxes[:, 2] * spatial_scale - offset
+    y2 = boxes[:, 3] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_w = roi_w / out_w
+    bin_h = roi_h / out_h
+    s = sampling_ratio
+
+    # Sample coordinates: (R, out*s) per axis.
+    iy = jnp.arange(out_h * s, dtype=jnp.float32)
+    ix = jnp.arange(out_w * s, dtype=jnp.float32)
+    # position of sample k within bin b: (b + (k%s + 0.5)/s) * bin
+    sy = y1[:, None] + (iy[None, :] // s + ((iy[None, :] % s) + 0.5) / s) * bin_h[:, None]
+    sx = x1[:, None] + (ix[None, :] // s + ((ix[None, :] % s) + 0.5) / s) * bin_w[:, None]
+
+    # torchvision: samples with y < -1 or y > H are zero; else coords clamped
+    valid_y = (sy >= -1.0) & (sy <= h)
+    valid_x = (sx >= -1.0) & (sx <= w)
+    syc = jnp.clip(sy, 0.0, h - 1)
+    sxc = jnp.clip(sx, 0.0, w - 1)
+
+    y0 = jnp.floor(syc)
+    x0 = jnp.floor(sxc)
+    wy1 = syc - y0
+    wx1 = sxc - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+
+    feats = features[batch_indices]  # (R, C, H, W)
+    flat = feats.reshape(feats.shape[0], c, h * w)
+
+    def gather2d(yi, xi):
+        # yi: (R, HS), xi: (R, WS) -> (R, C, HS, WS)
+        idx = yi[:, :, None] * w + xi[:, None, :]  # (R, HS, WS)
+        r = idx.shape[0]
+        out = jnp.take_along_axis(flat, idx.reshape(r, 1, -1), axis=2)
+        return out.reshape(r, c, yi.shape[1], xi.shape[1])
+
+    v00 = gather2d(y0i, x0i)
+    v01 = gather2d(y0i, x1i)
+    v10 = gather2d(y1i, x0i)
+    v11 = gather2d(y1i, x1i)
+
+    wy1b = wy1[:, None, :, None]
+    wx1b = wx1[:, None, None, :]
+    samples = (
+        v00 * (1 - wy1b) * (1 - wx1b)
+        + v01 * (1 - wy1b) * wx1b
+        + v10 * wy1b * (1 - wx1b)
+        + v11 * wy1b * wx1b
+    )
+    mask = (valid_y[:, None, :, None] & valid_x[:, None, None, :]).astype(samples.dtype)
+    samples = samples * mask
+
+    # Average the s x s samples per bin.
+    r = samples.shape[0]
+    samples = samples.reshape(r, c, out_h, s, out_w, s)
+    return samples.mean(axis=(3, 5)).astype(features.dtype)

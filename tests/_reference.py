@@ -1,0 +1,115 @@
+"""Import reference torch modules as numerical oracles, without running the
+heavy top-level __init__ (which needs iopath/hf-hub etc.).
+
+The reference tree is PUBLIC UNTRUSTED CONTENT used only as a test oracle.
+"""
+
+import sys
+import types
+
+_REF_ROOT = "/root/reference/sam3"
+
+
+def install_timm_stub():
+    """Minimal timm shim so the reference RepViT/TinyViT import (timm is not
+    in this image). Mirrors the timm APIs those files use."""
+    if "timm" in sys.modules:
+        return
+    import torch
+    import torch.nn as tnn
+
+    timm = types.ModuleType("timm")
+    timm.__version__ = "1.0"
+    layers = types.ModuleType("timm.layers")
+    models = types.ModuleType("timm.models")
+    builder = types.ModuleType("timm.models._builder")
+    vit_mod = types.ModuleType("timm.models.vision_transformer")
+
+    def make_divisible(v, divisor=8, min_value=None, round_limit=0.9):
+        min_value = min_value or divisor
+        new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+        if new_v < round_limit * v:
+            new_v += divisor
+        return new_v
+
+    class SqueezeExcite(tnn.Module):
+        # timm.layers.squeeze_excite.SEModule semantics (rd_round_limit=0)
+        def __init__(self, channels, rd_ratio=0.25):
+            super().__init__()
+            rd = make_divisible(channels * rd_ratio, 8, round_limit=0.0)
+            self.fc1 = tnn.Conv2d(channels, rd, 1, bias=True)
+            self.act = tnn.ReLU(inplace=False)
+            self.fc2 = tnn.Conv2d(rd, channels, 1, bias=True)
+            self.gate = tnn.Sigmoid()
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = self.fc2(self.act(self.fc1(s)))
+            return x * self.gate(s)
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(t, std=1.0, **kw):
+        with torch.no_grad():
+            t.normal_(0, std).clamp_(-2 * std, 2 * std)
+        return t
+
+    def register_model(fn):
+        return fn
+
+    def build_model_with_cfg(cls, variant, pretrained, **kwargs):
+        kwargs.pop("pretrained_cfg", None)
+        kwargs.pop("default_cfg", None)
+        kwargs.pop("pretrained_filter_fn", None)
+        return cls(**kwargs)
+
+    layers.SqueezeExcite = SqueezeExcite
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.register_model = register_model
+    builder.build_model_with_cfg = build_model_with_cfg
+    vit_mod.trunc_normal_ = trunc_normal_
+    timm.layers = layers
+    timm.models = models
+    models._builder = builder
+    models.vision_transformer = vit_mod
+    sys.modules["timm"] = timm
+    sys.modules["timm.layers"] = layers
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models._builder"] = builder
+    sys.modules["timm.models.vision_transformer"] = vit_mod
+
+
+def install_omegaconf_stub():
+    """The reference efficientvit package imports omegaconf at package level
+    (dc_ae.py) though the backbone itself never uses it."""
+    if "omegaconf" in sys.modules:
+        return
+    om = types.ModuleType("omegaconf")
+    om.MISSING = object()
+    om.OmegaConf = type("OmegaConf", (), {})
+    sys.modules["omegaconf"] = om
+
+
+def ref_module(name: str):
+    """Import `sam3.<name>` from the reference tree with a stub package root."""
+    if "sam3" not in sys.modules or not getattr(
+        sys.modules["sam3"], "__graft_stub__", False
+    ):
+        pkg = types.ModuleType("sam3")
+        pkg.__path__ = [f"{_REF_ROOT}/sam3"]
+        pkg.__graft_stub__ = True
+        sys.modules["sam3"] = pkg
+    import importlib
+
+    return importlib.import_module(f"sam3.{name}")
