@@ -82,6 +82,52 @@ def build_efficientsam3_image_model(
     )
 
 
+def build_efficientsam3_video_model(
+    backbone_type: str = "efficientvit",
+    model_name: str = "b1",
+    text_encoder_type: Optional[str] = None,
+    text_encoder_context_length: int = 77,
+    embed_size: int = 72,
+    dtype: Optional[jnp.dtype] = None,
+):
+    """Video PCS: image detector (with SAM2 neck) + tracker core.
+
+    reference model_builder.py:1265 build_efficientsam3_video_model.
+    Returns (image_model, tracker_core); wire them with
+    video.pipeline.VideoPCSPredictor after init/load.
+    """
+    from efficientsam3_tpu.video.tracker import TrackerCore
+
+    image_model = build_efficientsam3_image_model(
+        backbone_type=backbone_type,
+        model_name=model_name,
+        text_encoder_type=text_encoder_type,
+        text_encoder_context_length=text_encoder_context_length,
+        enable_inst_interactivity=True,
+        embed_size=embed_size,
+        dtype=dtype,
+    )
+    tracker = TrackerCore(
+        image_size=embed_size * 14, backbone_stride=14, dtype=dtype
+    )
+    return image_model, tracker
+
+
+def build_sam3_video_model(
+    text_encoder_context_length: int = 77, dtype: Optional[jnp.dtype] = None
+):
+    """Teacher video PCS (reference model_builder.py:1056)."""
+    from efficientsam3_tpu.video.tracker import TrackerCore
+
+    image_model = build_sam3_image_model(
+        text_encoder_context_length=text_encoder_context_length,
+        enable_inst_interactivity=True,
+        dtype=dtype,
+    )
+    tracker = TrackerCore(image_size=1008, backbone_stride=14, dtype=dtype)
+    return image_model, tracker
+
+
 def build_sam3_image_model(
     text_encoder_context_length: int = 77,
     enable_inst_interactivity: bool = False,

@@ -225,7 +225,7 @@ class RoPEAttention(Attention):
     feat_sizes: tuple = (64, 64)
 
     @nn.compact
-    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0, key_padding_mask=None):
         qh, kh, vh = self.project(q, k, v)
         n_q = qh.shape[-2]
         head_dim = self.internal_dim // self.num_heads
@@ -243,7 +243,11 @@ class RoPEAttention(Attention):
             cos_k, sin_k = cos, sin
         k_rope = apply_rope(kh[..., :num_k_rope, :], cos_k, sin_k)
         kh = jnp.concatenate([k_rope, kh[..., num_k_rope:, :]], axis=-2)
-        return self.output(sdpa(qh, kh, vh))
+        mask = None
+        if key_padding_mask is not None:
+            # True = PAD (torch convention); invalid memory-bank slots
+            mask = ~key_padding_mask[:, None, None, :]
+        return self.output(sdpa(qh, kh, vh, mask=mask))
 
 
 class MultiheadAttention(nn.Module):

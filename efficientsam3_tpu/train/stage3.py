@@ -1,0 +1,109 @@
+"""Stage-3 joint finetune: train the student trunks inside the full model.
+
+Mirrors the reference stage-3 recipe (stage3/model.py:24-34 freeze-all-then-
+unfreeze-trunks; README_stage3.md:190-203: vision lr 2.5e-5, text lr 5e-6,
+wd 0.1, inverse-sqrt schedule, bf16) using the detection losses in
+train/losses.py on the full Sam3ImageModel forward (DAC on).
+
+TPU-first: freezing is an optax.multi_transform over param-path labels
+(frozen subtrees get set_to_zero, exactly matching the reference's
+`skip_saving_parameters` + requires_grad_(False) pattern); data parallelism
+is batch sharding over a ('dp',) mesh with replicated params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from efficientsam3_tpu.train.losses import sam3_detection_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage3Config:
+    vision_lr: float = 2.5e-5
+    text_lr: float = 5e-6
+    weight_decay: float = 0.1
+    grad_clip: float = 1.0
+    warmup_steps: int = 1000
+    timescale: int = 10000
+
+
+def param_labels(params):
+    """Label each param: 'vision' (student trunk), 'text' (text tower),
+    'frozen' (everything else — the frozen SAM3 heads)."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        top = path[0]
+        if top == "trunk":
+            labels[path] = "vision"
+        elif top == "text_encoder":
+            labels[path] = "text"
+        else:
+            labels[path] = "frozen"
+    return traverse_util.unflatten_dict(labels)
+
+
+def inverse_sqrt_schedule(base_lr: float, warmup: int, timescale: int):
+    def fn(step):
+        step = jnp.maximum(step, 1)
+        warm = jnp.minimum(step / jnp.maximum(warmup, 1), 1.0)
+        return base_lr * warm * jnp.sqrt(timescale / jnp.maximum(step, timescale))
+
+    return fn
+
+
+def make_stage3_optimizer(cfg: Stage3Config, params):
+    labels = param_labels(params)
+
+    def group(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(
+                inverse_sqrt_schedule(lr, cfg.warmup_steps, cfg.timescale),
+                weight_decay=cfg.weight_decay,
+            ),
+        )
+
+    return optax.multi_transform(
+        {
+            "vision": group(cfg.vision_lr),
+            "text": group(cfg.text_lr),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+
+
+def stage3_train_step(model, tx, variables, opt_state, batch):
+    """batch: images (B, H, W, 3), tokens (B, L), prompt (Prompt),
+    targets dict (boxes/valid/masks)."""
+
+    def loss_fn(params):
+        vars_in = dict(variables, params=params)
+        outs, mutated = model.apply(
+            vars_in,
+            batch["images"],
+            batch["tokens"],
+            batch["prompt"],
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": batch["rng"]},
+        )
+        total, parts = sam3_detection_loss(outs, batch["targets"])
+        return total, (parts, mutated)
+
+    (loss, (parts, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    updates, opt_state = tx.update(grads, opt_state, variables["params"])
+    new_params = optax.apply_updates(variables["params"], updates)
+    new_vars = dict(variables, params=new_params, **mutated)
+    metrics = {"loss": loss, **{f"loss_{k}": v for k, v in parts.items()}}
+    return new_vars, opt_state, metrics

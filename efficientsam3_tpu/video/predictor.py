@@ -1,0 +1,395 @@
+"""Host-side tracker predictor: SAM2-style VOS API over the jitted TrackerCore.
+
+Mirrors reference sam3/sam3/model/sam3_tracking_predictor.py:14
+(Sam3TrackerPredictor): init_state / add_new_points_or_box / add_new_mask /
+propagate_in_video, with per-object outputs kept per frame.
+
+TPU-first structure: all device programs have static shapes —
+  - objects are padded to a fixed slot count (`obj_slots`), so adding or
+    removing objects never recompiles;
+  - the memory bank is a fixed (slots, num_maskmem, 72, 72, 64) array plus
+    validity masks, assembled on host from tiny per-frame indices
+    (reference's select_closest_cond_frames + stride-r logic,
+    sam3_tracker_base.py:596-645);
+  - per frame, exactly two programs run: `track` (memory attention + SAM
+    heads) and `encode_memory` — or `cond_track` on prompted frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from efficientsam3_tpu.video.tracker import TrackerCore
+
+
+def select_closest_cond_frames(frame_idx, cond_indices, max_num, keep_first=False):
+    """reference sam3_tracker_utils.py:293: pick the temporally closest
+    conditioning frames. Returns (selected, unselected) index lists."""
+    if max_num == -1 or len(cond_indices) <= max_num:
+        return list(cond_indices), []
+    selected = set()
+    if keep_first:
+        selected.add(min(cond_indices))
+    before = [t for t in cond_indices if t < frame_idx]
+    after = [t for t in cond_indices if t >= frame_idx]
+    if before:
+        selected.add(max(before))
+    if after:
+        selected.add(min(after))
+    rest = sorted(
+        (t for t in cond_indices if t not in selected),
+        key=lambda t: abs(t - frame_idx),
+    )
+    for t in rest:
+        if len(selected) >= max_num:
+            break
+        selected.add(t)
+    unselected = [t for t in cond_indices if t not in selected]
+    return sorted(selected), unselected
+
+
+class TrackerPredictor:
+    """VOS predictor over per-frame features supplied by an encoder fn."""
+
+    def __init__(
+        self,
+        core: TrackerCore,
+        variables,
+        encode_frame,  # image (1, H, W, 3) -> dict with 'sam2_fpn' NHWC levels
+        obj_slots: int = 8,
+        max_cond_frames_in_attn: int = 4,
+        memory_temporal_stride: int = 1,
+        max_point_prompts: int = 8,
+    ):
+        self.core = core
+        self.variables = variables
+        self.encode_frame = encode_frame
+        self.obj_slots = obj_slots
+        self.max_cond = max_cond_frames_in_attn
+        self.stride = memory_temporal_stride
+        self.max_points = max_point_prompts
+        fs = core.feat_size
+
+        def _track(v, tokens, pos, mem, tpos, mem_valid, ptrs, tdiff, pvalid,
+                   coords, labels, s0, s1, multimask):
+            cond = core.apply(
+                v, tokens, pos, mem, tpos, mem_valid, ptrs, tdiff, pvalid,
+                method=core.condition_features,
+            )
+            b = tokens.shape[0]
+            pix = cond.reshape(b, fs, fs, core.d_model)
+            return core.apply(
+                v, pix, coords, labels, (s0, s1), multimask,
+                method=core.forward_sam_heads,
+            )
+
+        def _cond_track(v, tokens, coords, labels, s0, s1, multimask):
+            cond = core.apply(v, tokens, method=core.no_mem_features)
+            b = tokens.shape[0]
+            pix = cond.reshape(b, fs, fs, core.d_model)
+            return core.apply(
+                v, pix, coords, labels, (s0, s1), multimask,
+                method=core.forward_sam_heads,
+            )
+
+        def _encode_mem(v, tokens, hi_masks, score, from_pts):
+            return core.apply(
+                v, tokens, hi_masks, score, from_pts, method=core.encode_memory
+            )
+
+        def _cond_mask(v, tokens, masks, s0, s1):
+            cond = core.apply(v, tokens, method=core.no_mem_features)
+            b = tokens.shape[0]
+            pix = cond.reshape(b, fs, fs, core.d_model)
+            return core.apply(
+                v, pix, (s0, s1), masks, method=core.use_mask_as_output
+            )
+
+        self._track = jax.jit(_track, static_argnums=(13,))
+        self._cond_track = jax.jit(_cond_track, static_argnums=(6,))
+        self._encode_mem = jax.jit(_encode_mem, static_argnums=(4,))
+        self._cond_mask = jax.jit(_cond_mask)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, frames) -> dict:
+        """frames: (T, H, W, 3) array or list of frames (lazy encode)."""
+        return {
+            "frames": frames,
+            "num_frames": len(frames),
+            "feat_cache": {},
+            "obj_ids": [],  # user object ids, slot-aligned
+            "cond_frames": {},  # frame_idx -> per-slot outputs dict
+            "non_cond_frames": {},
+            "prompts": {},  # frame_idx -> (coords, labels) per slot
+        }
+
+    def _features(self, state, frame_idx):
+        if frame_idx not in state["feat_cache"]:
+            img = np.asarray(state["frames"][frame_idx])[None]
+            out = self.encode_frame(jnp.asarray(img, jnp.float32))
+            fpn = out["sam2_fpn"]
+            # level 0/1 are projected by the mask decoder's conv_s0/conv_s1
+            s0, s1 = self.core.apply(
+                self.variables, fpn[0], fpn[1],
+                method=lambda m, a, b: m.sam_mask_decoder.high_res_convs(a, b),
+            )
+            fs = self.core.feat_size
+            tokens = fpn[2].reshape(1, fs * fs, self.core.d_model)
+            state["feat_cache"][frame_idx] = (tokens, s0, s1)
+        return state["feat_cache"][frame_idx]
+
+    def _slot(self, state, obj_id) -> int:
+        if obj_id in state["obj_ids"]:
+            return state["obj_ids"].index(obj_id)
+        if len(state["obj_ids"]) >= self.obj_slots:
+            raise ValueError(f"too many objects (max {self.obj_slots})")
+        state["obj_ids"].append(obj_id)
+        return len(state["obj_ids"]) - 1
+
+    def _tile(self, x):
+        """Broadcast single-frame features to the object-slot batch."""
+        return jnp.broadcast_to(x, (self.obj_slots,) + x.shape[1:])
+
+    def add_new_points_or_box(
+        self, state, frame_idx: int, obj_id, points=None, labels=None, box=None
+    ):
+        """Points: (P, 2) pixel xy at input resolution; labels (P,) 1/0.
+        Box: (4,) xyxy -> two corner points labeled 2/3 (reference
+        sam1_task_predictor.py:385-396)."""
+        slot = self._slot(state, obj_id)
+        pts = np.zeros((self.max_points, 2), np.float32)
+        labs = -np.ones((self.max_points,), np.int32)
+        n = 0
+        if box is not None:
+            pts[0] = box[:2]
+            pts[1] = box[2:]
+            labs[0], labs[1] = 2, 3
+            n = 2
+        if points is not None:
+            p = np.asarray(points, np.float32)
+            l = np.asarray(labels, np.int32)
+            pts[n : n + len(p)] = p
+            labs[n : n + len(p)] = l
+        prompts = state["prompts"].setdefault(
+            frame_idx,
+            (
+                np.zeros((self.obj_slots, self.max_points, 2), np.float32),
+                -np.ones((self.obj_slots, self.max_points), np.int32),
+            ),
+        )
+        prompts[0][slot] = pts
+        prompts[1][slot] = labs
+
+        out = self._run_cond_frame(state, frame_idx)
+        state["cond_frames"][frame_idx] = out
+        state["non_cond_frames"].pop(frame_idx, None)
+        return frame_idx, list(state["obj_ids"]), out["low_res_masks"][: len(state["obj_ids"])]
+
+    def add_new_mask(self, state, frame_idx: int, obj_id, mask):
+        """Adopt a binary mask as this object's output on a prompted frame
+        (reference sam3_tracking_predictor.py:376 add_new_mask).
+
+        mask: (H, W) bool at any resolution; resized to the model input.
+        """
+        from efficientsam3_tpu.ops.interpolate import resize_bilinear
+
+        slot = self._slot(state, obj_id)
+        tokens, s0, s1 = self._features(state, frame_idx)
+        r = self.core.image_size
+        m = jnp.asarray(np.asarray(mask, np.float32))[None, None]
+        if m.shape[-2:] != (r, r):
+            m = resize_bilinear(m, (r, r)) > 0.5
+        masks = np.zeros((self.obj_slots, r, r, 1), np.float32)
+        masks[slot, :, :, 0] = np.asarray(m[0, 0], np.float32)
+        heads = self._cond_mask(
+            self.variables, self._tile(tokens), jnp.asarray(masks),
+            self._tile(s0), self._tile(s1),
+        )
+        mem = self._encode_mem(
+            self.variables, self._tile(tokens), heads["high_res_masks"],
+            heads["object_score_logits"], True,
+        )
+        new_out = {
+            "low_res_masks": np.array(heads["low_res_masks"]),
+            "obj_ptr": np.array(heads["obj_ptr"]),
+            "object_score_logits": np.array(heads["object_score_logits"]),
+            "maskmem": np.array(mem),
+        }
+        # merge the new slot's row into any existing outputs for this frame
+        existing = state["cond_frames"].get(frame_idx) or state[
+            "non_cond_frames"
+        ].get(frame_idx)
+        if existing is not None:
+            for k, v in new_out.items():
+                existing[k][slot] = v[slot]
+            out = existing
+        else:
+            out = new_out
+        state["cond_frames"][frame_idx] = out
+        state["non_cond_frames"].pop(frame_idx, None)
+        return frame_idx, list(state["obj_ids"]), out["low_res_masks"][: len(state["obj_ids"])]
+
+    # `add_new_mask_like` alias used by the video pipeline
+    def add_new_mask_like(self, state, frame_idx, obj_id, mask):
+        return self.add_new_mask(state, frame_idx, obj_id, mask)
+
+    def _run_cond_frame(self, state, frame_idx):
+        tokens, s0, s1 = self._features(state, frame_idx)
+        coords, labs = state["prompts"][frame_idx]
+        heads = self._cond_track(
+            self.variables,
+            self._tile(tokens), jnp.asarray(coords), jnp.asarray(labs),
+            self._tile(s0), self._tile(s1), True,
+        )
+        mem = self._encode_mem(
+            self.variables, self._tile(tokens), heads["high_res_masks"],
+            heads["object_score_logits"], True,
+        )
+        return {
+            "low_res_masks": np.array(heads["low_res_masks"]),
+            "obj_ptr": np.array(heads["obj_ptr"]),
+            "object_score_logits": np.array(heads["object_score_logits"]),
+            "maskmem": np.array(mem),
+        }
+
+    # ------------------------------------------------------------------
+
+    def _gather_memory(self, state, frame_idx, reverse=False):
+        """Assemble the fixed-size memory bank (host index logic)."""
+        core = self.core
+        n_mem = core.num_maskmem
+        fs = core.feat_size
+        mem = np.zeros((self.obj_slots, n_mem, fs, fs, core.mem_dim), np.float32)
+        tpos = np.zeros((self.obj_slots, n_mem), np.int32)
+        valid = np.zeros((self.obj_slots, n_mem), bool)
+        ptrs = np.zeros((self.obj_slots, core.max_obj_ptrs, core.d_model), np.float32)
+        tdiff = np.zeros((self.obj_slots, core.max_obj_ptrs), np.float32)
+        pvalid = np.zeros((self.obj_slots, core.max_obj_ptrs), bool)
+
+        cond_idx, unsel = select_closest_cond_frames(
+            frame_idx, sorted(state["cond_frames"]), self.max_cond
+        )
+        slot_i = 0
+        for t in cond_idx[: n_mem]:
+            out = state["cond_frames"][t]
+            mem[:, slot_i] = out["maskmem"]
+            tpos[:, slot_i] = 0
+            valid[:, slot_i] = True
+            slot_i += 1
+
+        # recent non-cond frames at stride r (tracker_base.py:610-645)
+        r = self.stride
+        sign = -1 if reverse else 1
+        picks = []
+        for t_pos in range(1, n_mem):
+            t_rel = n_mem - t_pos
+            if t_rel == 1:
+                prev = frame_idx - sign
+            else:
+                if not reverse:
+                    prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+                else:
+                    prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
+            out = state["non_cond_frames"].get(prev)
+            if out is None and prev in unsel:
+                out = state["cond_frames"].get(prev)
+            if out is not None:
+                picks.append((t_pos, out))
+        for t_pos, out in picks:
+            if slot_i >= n_mem:
+                break
+            mem[:, slot_i] = out["maskmem"]
+            tpos[:, slot_i] = t_pos
+            valid[:, slot_i] = True
+            slot_i += 1
+
+        # object pointers: cond frames (past only) then recent non-cond
+        pi = 0
+        for t in cond_idx:
+            if (t <= frame_idx if not reverse else t >= frame_idx) and pi < core.max_obj_ptrs:
+                out = state["cond_frames"][t]
+                ptrs[:, pi] = out["obj_ptr"]
+                tdiff[:, pi] = abs(frame_idx - t)
+                pvalid[:, pi] = True
+                pi += 1
+        for t_d in range(1, core.max_obj_ptrs):
+            if pi >= core.max_obj_ptrs:
+                break
+            t = frame_idx + t_d if reverse else frame_idx - t_d
+            out = state["non_cond_frames"].get(t)
+            if out is not None:
+                ptrs[:, pi] = out["obj_ptr"]
+                tdiff[:, pi] = t_d
+                pvalid[:, pi] = True
+                pi += 1
+        return mem, tpos, valid, ptrs, tdiff, pvalid
+
+    def _run_track_frame(self, state, frame_idx, reverse=False):
+        tokens, s0, s1 = self._features(state, frame_idx)
+        mem, tpos, valid, ptrs, tdiff, pvalid = self._gather_memory(
+            state, frame_idx, reverse
+        )
+        from efficientsam3_tpu.models.common import sine_pos_embed_2d
+
+        fs = self.core.feat_size
+        pos = sine_pos_embed_2d(fs, fs, self.core.d_model).reshape(
+            fs * fs, self.core.d_model
+        )
+        empty_pts = jnp.zeros((self.obj_slots, 1, 2), jnp.float32)
+        empty_lab = -jnp.ones((self.obj_slots, 1), jnp.int32)
+        heads = self._track(
+            self.variables,
+            self._tile(tokens), pos,
+            jnp.asarray(mem), jnp.asarray(tpos), jnp.asarray(valid),
+            jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
+            empty_pts, empty_lab, self._tile(s0), self._tile(s1), True,
+        )
+        mem_new = self._encode_mem(
+            self.variables, self._tile(tokens), heads["high_res_masks"],
+            heads["object_score_logits"], False,
+        )
+        return {
+            "low_res_masks": np.array(heads["low_res_masks"]),
+            "obj_ptr": np.array(heads["obj_ptr"]),
+            "object_score_logits": np.array(heads["object_score_logits"]),
+            "maskmem": np.array(mem_new),
+        }
+
+    def propagate_in_video(self, state, start_frame_idx=None, reverse=False):
+        """Yield (frame_idx, obj_ids, low_res_mask_logits) per frame."""
+        if not state["cond_frames"]:
+            raise ValueError("add prompts before propagating")
+        if start_frame_idx is None:
+            start_frame_idx = min(state["cond_frames"])
+        n_obj = len(state["obj_ids"])
+        order = (
+            range(start_frame_idx, -1, -1)
+            if reverse
+            else range(start_frame_idx, state["num_frames"])
+        )
+        for t in order:
+            if t in state["cond_frames"]:
+                out = state["cond_frames"][t]
+            else:
+                out = self._run_track_frame(state, t, reverse)
+                state["non_cond_frames"][t] = out
+            yield t, list(state["obj_ids"]), out["low_res_masks"][:n_obj]
+
+    def remove_object(self, state, obj_id):
+        """Drop an object slot (reference sam3_tracking_predictor.py:1232)."""
+        if obj_id not in state["obj_ids"]:
+            return
+        slot = state["obj_ids"].index(obj_id)
+        state["obj_ids"].remove(obj_id)
+        for frames in (state["cond_frames"], state["non_cond_frames"]):
+            for out in frames.values():
+                for k in ("low_res_masks", "obj_ptr", "object_score_logits", "maskmem"):
+                    out[k][slot:-1] = out[k][slot + 1 :]
+                    out[k][-1] = 0

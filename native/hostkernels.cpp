@@ -1,0 +1,179 @@
+// Host-side native kernels for efficientsam3-tpu.
+//
+// TPU-native replacements for the reference's optional CUDA extensions and
+// CPU fallbacks (SURVEY §2.6): the device path uses JAX/Pallas formulations
+// (ops/cc.py, ops/masks.py, ops/edt.py); this library provides fast native
+// host implementations used as (a) numerical oracles in tests, (b) the
+// host fallback when arrays already live on host (video planning phase),
+// and (c) the stage-1 record store (TxtManager-equivalent data loader).
+//
+// Exposed via ctypes (see efficientsam3_tpu/native/__init__.py).
+// Build: g++ -O3 -shared -fPIC -o libhostkernels.so hostkernels.cpp
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Connected components, 8-connectivity, two-pass union-find.
+// mask: h*w uint8 (nonzero = foreground); labels_out: h*w int32 (0 = bg,
+// components numbered 1..K). Returns K.
+// ---------------------------------------------------------------------------
+static int32_t find_root(std::vector<int32_t>& parent, int32_t x) {
+  while (parent[x] != x) {
+    parent[x] = parent[parent[x]];  // path halving
+    x = parent[x];
+  }
+  return x;
+}
+
+int32_t cc_label(const uint8_t* mask, int32_t h, int32_t w, int32_t* labels_out) {
+  const int32_t n = h * w;
+  std::vector<int32_t> parent(n);
+  for (int32_t i = 0; i < n; ++i) parent[i] = i;
+
+  auto unite = [&](int32_t a, int32_t b) {
+    int32_t ra = find_root(parent, a), rb = find_root(parent, b);
+    if (ra != rb) parent[std::max(ra, rb)] = std::min(ra, rb);
+  };
+
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      const int32_t i = y * w + x;
+      if (!mask[i]) continue;
+      // scan-order neighbors: W, NW, N, NE
+      if (x > 0 && mask[i - 1]) unite(i, i - 1);
+      if (y > 0) {
+        if (x > 0 && mask[i - w - 1]) unite(i, i - w - 1);
+        if (mask[i - w]) unite(i, i - w);
+        if (x + 1 < w && mask[i - w + 1]) unite(i, i - w + 1);
+      }
+    }
+  }
+  std::vector<int32_t> remap(n, 0);
+  int32_t next = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    if (!mask[i]) { labels_out[i] = 0; continue; }
+    int32_t r = find_root(parent, i);
+    if (remap[r] == 0) remap[r] = ++next;
+    labels_out[i] = remap[r];
+  }
+  return next;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy NMS over a precomputed IoU matrix (n x n), score-descending order.
+// keep_out: n uint8.
+// ---------------------------------------------------------------------------
+void nms_greedy(const float* iou, const float* scores, int32_t n,
+                float thresh, uint8_t* keep_out) {
+  std::vector<int32_t> order(n);
+  for (int32_t i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return scores[a] > scores[b]; });
+  std::memset(keep_out, 0, n);
+  for (int32_t oi = 0; oi < n; ++oi) {
+    const int32_t i = order[oi];
+    bool ok = true;
+    for (int32_t oj = 0; oj < oi; ++oj) {
+      const int32_t j = order[oj];
+      if (keep_out[j] && iou[i * n + j] > thresh) { ok = false; break; }
+    }
+    keep_out[i] = ok;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Exact Euclidean distance transform (Felzenszwalb & Huttenlocher),
+// distance from nonzero pixels to the nearest zero pixel.
+// ---------------------------------------------------------------------------
+static void dt_1d(const float* f, float* d, int32_t n, std::vector<int32_t>& v,
+                  std::vector<float>& z) {
+  int32_t k = 0;
+  v[0] = 0;
+  z[0] = -1e20f;
+  z[1] = 1e20f;
+  for (int32_t q = 1; q < n; ++q) {
+    float s;
+    while (true) {
+      s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2.0f * q - 2.0f * v[k]);
+      if (s <= z[k]) { --k; } else break;
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = 1e20f;
+  }
+  k = 0;
+  for (int32_t q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    const float dq = q - v[k];
+    d[q] = dq * dq + f[v[k]];
+  }
+}
+
+void edt(const uint8_t* mask, int32_t h, int32_t w, float* out) {
+  const float INF = 1e20f;
+  std::vector<float> f(std::max(h, w)), d(std::max(h, w));
+  std::vector<int32_t> v(std::max(h, w));
+  std::vector<float> z(std::max(h, w) + 1);
+  std::vector<float> tmp(h * w);
+
+  // columns first
+  for (int32_t x = 0; x < w; ++x) {
+    for (int32_t y = 0; y < h; ++y) f[y] = mask[y * w + x] ? INF : 0.0f;
+    dt_1d(f.data(), d.data(), h, v, z);
+    for (int32_t y = 0; y < h; ++y) tmp[y * w + x] = d[y];
+  }
+  // then rows
+  for (int32_t y = 0; y < h; ++y) {
+    dt_1d(tmp.data() + y * w, d.data(), w, v, z);
+    for (int32_t x = 0; x < w; ++x) out[y * w + x] = std::sqrt(d[x]);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Fixed-item-size keyed binary record reader (stage-1 embedding store,
+// replacing the reference's TxtManager byte store). The file layout is
+// [count: int64][item_size: int64][items...]; items addressed by index.
+// ---------------------------------------------------------------------------
+int64_t record_store_item_size(const char* path) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  int64_t header[2];
+  if (std::fread(header, sizeof(int64_t), 2, fp) != 2) { std::fclose(fp); return -1; }
+  std::fclose(fp);
+  return header[1];
+}
+
+int64_t record_store_count(const char* path) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  int64_t header[2];
+  if (std::fread(header, sizeof(int64_t), 2, fp) != 2) { std::fclose(fp); return -1; }
+  std::fclose(fp);
+  return header[0];
+}
+
+int32_t record_store_read(const char* path, int64_t index, uint8_t* out,
+                          int64_t out_size) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  int64_t header[2];
+  if (std::fread(header, sizeof(int64_t), 2, fp) != 2) { std::fclose(fp); return -2; }
+  if (index < 0 || index >= header[0] || out_size < header[1]) {
+    std::fclose(fp);
+    return -3;
+  }
+  if (std::fseek(fp, 16 + index * header[1], SEEK_SET) != 0) { std::fclose(fp); return -4; }
+  const size_t got = std::fread(out, 1, (size_t)header[1], fp);
+  std::fclose(fp);
+  return got == (size_t)header[1] ? 0 : -5;
+}
+
+}  // extern "C"

@@ -1,0 +1,81 @@
+"""Evaluator tests: RLE roundtrip, cgF1 semantics, mAP sanity."""
+
+import numpy as np
+
+from efficientsam3_tpu.eval.cgf1 import CGF1Evaluator
+from efficientsam3_tpu.eval.coco_format import (
+    mask_iou_np,
+    mask_to_rle,
+    polygons_to_mask,
+    rle_decode_string,
+    rle_encode_string,
+    rle_to_mask,
+)
+from efficientsam3_tpu.eval.coco_map import CocoMAPEvaluator
+
+RNG = np.random.default_rng(7)
+
+
+def test_rle_roundtrip():
+    m = RNG.random((23, 31)) > 0.5
+    rle = mask_to_rle(m)
+    np.testing.assert_array_equal(rle_to_mask(rle), m)
+    # compressed-string roundtrip
+    s = rle_encode_string(rle["counts"])
+    np.testing.assert_array_equal(rle_decode_string(s), rle["counts"])
+    np.testing.assert_array_equal(
+        rle_to_mask({"size": rle["size"], "counts": s}), m
+    )
+
+
+def test_polygon_rasterize():
+    m = polygons_to_mask([[2, 2, 10, 2, 10, 10, 2, 10]], 16, 16)
+    assert m[5, 5] and not m[0, 0]
+    assert m.sum() >= 64  # at least the 8x8 interior
+
+
+def test_cgf1_perfect_predictions():
+    ev = CGF1Evaluator()
+    for _ in range(10):
+        gt = RNG.random((2, 16, 16)) > 0.5
+        ev.add_masks(gt.copy(), gt)  # perfect detections
+    for _ in range(5):
+        ev.add_masks(np.zeros((0, 16, 16), bool), np.zeros((0, 16, 16), bool))
+    out = ev.summarize()
+    assert out["cgF1"] > 0.97
+    assert out["IL_MCC"] > 0.99
+
+
+def test_cgf1_penalizes_false_positives_on_empty():
+    ev = CGF1Evaluator()
+    for _ in range(10):
+        gt = RNG.random((2, 16, 16)) > 0.5
+        ev.add_masks(gt.copy(), gt)
+    # false positives on negative images crush IL_MCC
+    for _ in range(10):
+        ev.add_masks(RNG.random((1, 16, 16)) > 0.5, np.zeros((0, 16, 16), bool))
+    out = ev.summarize()
+    assert out["cgF1"] < 0.2
+
+
+def test_coco_map_perfect_and_shifted():
+    ev = CocoMAPEvaluator("bbox")
+    boxes = np.asarray([[10, 10, 20, 20], [40, 40, 10, 10]], np.float64)
+    for _ in range(5):
+        ev.add_image(1, [0.9, 0.8], boxes, boxes)
+    out = ev.summarize()
+    assert out["AP"] > 0.99
+
+    ev2 = CocoMAPEvaluator("bbox")
+    shifted = boxes + np.asarray([8, 8, 0, 0])
+    for _ in range(5):
+        ev2.add_image(1, [0.9, 0.8], shifted, boxes)
+    out2 = ev2.summarize()
+    assert out2["AP50"] > out2.get("AP75", 0) or out2["AP"] < out["AP"]
+
+
+def test_coco_map_segm():
+    ev = CocoMAPEvaluator("segm")
+    gt = RNG.random((3, 24, 24)) > 0.6
+    ev.add_image(1, [0.9, 0.8, 0.7], gt.copy(), gt)
+    assert ev.summarize()["AP"] > 0.99
