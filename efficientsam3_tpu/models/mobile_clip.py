@@ -143,7 +143,9 @@ class RepMixerBlock(nn.Module):
     Input/output: (B, L, D).
     """
 
-    kernel_size: int = 3
+    # RepMixerBlock passes its kernel_size=11 to BOTH the token mixer and
+    # the ConvFFN (mobile_clip.py:647-676)
+    kernel_size: int = 11
     ffn_kernel_size: int = 11
     mlp_ratio: float = 4.0
     layer_scale_init: float = 1e-5

@@ -49,7 +49,7 @@ class TextTransformer(nn.Module):
     heads: int = 16
     layers: int = 24
     mlp_ratio: float = 4.0
-    output_dim: int = 1024
+    output_dim: int = 512  # CLIP default; unused by the SAM3 token path
     causal: bool = True
     dtype: Optional[jnp.dtype] = None
 

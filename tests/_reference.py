@@ -83,11 +83,88 @@ def install_timm_stub():
     timm.models = models
     models._builder = builder
     models.vision_transformer = vit_mod
+    models_layers = types.ModuleType("timm.models.layers")
+    models_layers.DropPath = DropPath
+    models_layers.to_2tuple = to_2tuple
+    models_layers.trunc_normal_ = trunc_normal_
+    models.layers = models_layers
     sys.modules["timm"] = timm
     sys.modules["timm.layers"] = layers
     sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = models_layers
     sys.modules["timm.models._builder"] = builder
     sys.modules["timm.models.vision_transformer"] = vit_mod
+
+
+def install_torchvision_stub():
+    """Stub torchvision.ops.roi_align import for the reference decoder
+    (RoIAlign is only instantiated when interaction_layer is set, which the
+    builder never does)."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    ops = types.ModuleType("torchvision.ops")
+    ra = types.ModuleType("torchvision.ops.roi_align")
+
+    class RoIAlign:  # pragma: no cover - never called
+        def __init__(self, *a, **k):
+            pass
+
+    def roi_align(*a, **k):  # pragma: no cover
+        raise NotImplementedError("torchvision stub")
+
+    import torch.nn as tnn
+
+    class StochasticDepth(tnn.Module):
+        def __init__(self, p=0.0, mode="row"):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    ra.RoIAlign = RoIAlign
+    ops.roi_align = ra
+    ops.RoIAlign = RoIAlign
+    ops.StochasticDepth = StochasticDepth
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.roi_align"] = ra
+
+
+def install_ftfy_stub():
+    """ftfy is absent; for ASCII test prompts fix_text is the identity."""
+    if "ftfy" in sys.modules:
+        return
+    ftfy = types.ModuleType("ftfy")
+    ftfy.fix_text = lambda s: s
+    sys.modules["ftfy"] = ftfy
+
+
+def install_iopath_stub():
+    if "iopath" in sys.modules:
+        return
+    iopath = types.ModuleType("iopath")
+    common = types.ModuleType("iopath.common")
+    file_io = types.ModuleType("iopath.common.file_io")
+
+    class _PathMgr:
+        @staticmethod
+        def open(path, mode="r", **kw):
+            return open(path, mode, **kw)
+
+        @staticmethod
+        def exists(path):
+            import os
+
+            return os.path.exists(path)
+
+    file_io.g_pathmgr = _PathMgr()
+    iopath.common = common
+    common.file_io = file_io
+    sys.modules["iopath"] = iopath
+    sys.modules["iopath.common"] = common
+    sys.modules["iopath.common.file_io"] = file_io
 
 
 def install_omegaconf_stub():
