@@ -72,6 +72,23 @@ def install_timm_stub():
         kwargs.pop("pretrained_filter_fn", None)
         return cls(**kwargs)
 
+    class Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features=None, out_features=None,
+                     act_layer=tnn.GELU, drop=(0.0, 0.0), **kw):
+            super().__init__()
+            hidden_features = hidden_features or in_features
+            out_features = out_features or in_features
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            d = drop if isinstance(drop, (tuple, list)) else (drop, drop)
+            self.drop1 = tnn.Dropout(d[0])
+            self.fc2 = tnn.Linear(hidden_features, out_features)
+            self.drop2 = tnn.Dropout(d[1])
+
+        def forward(self, x):
+            return self.drop2(self.fc2(self.drop1(self.act(self.fc1(x)))))
+
+    layers.Mlp = Mlp
     layers.SqueezeExcite = SqueezeExcite
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
@@ -85,6 +102,7 @@ def install_timm_stub():
     models.vision_transformer = vit_mod
     models_layers = types.ModuleType("timm.models.layers")
     models_layers.DropPath = DropPath
+    models_layers.Mlp = Mlp
     models_layers.to_2tuple = to_2tuple
     models_layers.trunc_normal_ = trunc_normal_
     models.layers = models_layers
@@ -126,10 +144,53 @@ def install_torchvision_stub():
     ops.roi_align = ra
     ops.RoIAlign = RoIAlign
     ops.StochasticDepth = StochasticDepth
+    ops.masks_to_boxes = roi_align  # stub fn, never called at build time
+    ops.batched_nms = roi_align
+    ops.nms = roi_align
     tv.ops = ops
+
+    datasets = types.ModuleType("torchvision.datasets")
+    vision = types.ModuleType("torchvision.datasets.vision")
+
+    class VisionDataset:
+        def __init__(self, *a, **k):
+            pass
+
+    vision.VisionDataset = VisionDataset
+    datasets.vision = vision
+    tv.datasets = datasets
+
+    transforms = types.ModuleType("torchvision.transforms")
+    v2 = types.ModuleType("torchvision.transforms.v2")
+    v2.functional = types.ModuleType("torchvision.transforms.v2.functional")
+
+    class _Noop:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    for name in ("Compose", "ToDtype", "Resize", "Normalize", "ToPILImage",
+                 "ToTensor", "InterpolationMode", "PILToTensor"):
+        setattr(v2, name, _Noop)
+        setattr(transforms, name, _Noop)
+    tfunc = types.ModuleType("torchvision.transforms.functional")
+    tfunc.resize = _Noop()
+    tfunc.to_tensor = _Noop()
+    tfunc.InterpolationMode = _Noop
+    transforms.functional = tfunc
+    transforms.v2 = v2
+    tv.transforms = transforms
+
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.ops.roi_align"] = ra
+    sys.modules["torchvision.datasets"] = datasets
+    sys.modules["torchvision.datasets.vision"] = vision
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.transforms.v2"] = v2
+    sys.modules["torchvision.transforms.functional"] = tfunc
 
 
 def install_ftfy_stub():
@@ -165,6 +226,27 @@ def install_iopath_stub():
     sys.modules["iopath"] = iopath
     sys.modules["iopath.common"] = common
     sys.modules["iopath.common.file_io"] = file_io
+
+
+def install_pycocotools_stub():
+    if "pycocotools" in sys.modules:
+        return
+    pct = types.ModuleType("pycocotools")
+    mask = types.ModuleType("pycocotools.mask")
+    coco = types.ModuleType("pycocotools.coco")
+    cocoeval = types.ModuleType("pycocotools.cocoeval")
+    mask.encode = mask.decode = mask.iou = mask.area = mask.toBbox = (
+        lambda *a, **k: (_ for _ in ()).throw(NotImplementedError("stub"))
+    )
+    coco.COCO = type("COCO", (), {})
+    cocoeval.COCOeval = type("COCOeval", (), {})
+    pct.mask = mask
+    pct.coco = coco
+    pct.cocoeval = cocoeval
+    sys.modules["pycocotools"] = pct
+    sys.modules["pycocotools.mask"] = mask
+    sys.modules["pycocotools.coco"] = coco
+    sys.modules["pycocotools.cocoeval"] = cocoeval
 
 
 def install_omegaconf_stub():

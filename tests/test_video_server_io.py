@@ -1,0 +1,68 @@
+"""Video IO + predictor-server session tests (tiny tracker)."""
+
+import numpy as np
+
+import jax
+
+from test_tracker_smoke import _tiny_setup
+
+
+def test_frame_folder_and_async_loader(tmp_path):
+    from PIL import Image
+
+    from efficientsam3_tpu.video.io import AsyncFrameLoader, load_video_frames
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(
+            (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / f"{i:05d}.jpg")
+    frames = load_video_frames(str(tmp_path))
+    assert frames.shape == (4, 32, 48, 3)
+    frames_r = load_video_frames(str(tmp_path), resolution=16)
+    assert frames_r.shape == (4, 16, 16, 3)
+
+    loader = AsyncFrameLoader(
+        [str(tmp_path / f"{i:05d}.jpg") for i in range(4)], resolution=16
+    )
+    assert len(loader) == 4
+    assert loader[3].shape == (16, 16, 3)
+    assert loader[0].shape == (16, 16, 3)
+
+
+def test_predictor_server_sessions():
+    from efficientsam3_tpu.video.predictor import TrackerPredictor
+    from efficientsam3_tpu.video.server import VideoPredictorServer
+
+    core, variables, *_ = _tiny_setup()
+    fs = core.feat_size
+
+    def encode_frame(img):
+        key = jax.random.PRNGKey(3)
+        return {
+            "sam2_fpn": [
+                jax.random.normal(key, (1, 4 * fs, 4 * fs, 32)) * 0.1,
+                jax.random.normal(key, (1, 2 * fs, 2 * fs, 32)) * 0.1,
+                jax.random.normal(key, (1, fs, fs, 32)) * 0.1 + img.mean() * 0.01,
+            ]
+        }
+
+    tracker = TrackerPredictor(
+        core, variables, encode_frame, obj_slots=2, max_point_prompts=4
+    )
+    server = VideoPredictorServer(tracker)
+    frames = np.random.default_rng(1).random((3, 64, 64, 3)).astype(np.float32)
+    sid = server.start_session(frames)
+    server.add_points(sid, 0, obj_id=1, points=[[20, 20]], labels=[1])
+    outs = list(server.propagate_in_video(sid))
+    assert [o["frame_idx"] for o in outs] == [0, 1, 2]
+    stats = server.session_stats()
+    assert stats["num_sessions"] == 1
+    assert stats["sessions"][sid]["num_objects"] == 1
+    server.close_session(sid)
+    assert server.session_stats()["num_sessions"] == 0
+    try:
+        server.add_points(sid, 0, 1, points=[[1, 1]], labels=[1])
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
