@@ -47,12 +47,15 @@ def main():
     out = infer(variables, img, tokens, prompt)
     jax.block_until_ready(out)
 
+    # honest per-frame latency: block every iteration (no dispatch pipelining)
     iters = 20
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         out = infer(variables, img, tokens, prompt)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / iters * 1e3
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    ms = sorted(times)[len(times) // 2] * 1e3  # median
 
     print(
         json.dumps(

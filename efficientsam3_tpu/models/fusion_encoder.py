@@ -105,16 +105,26 @@ class FusionEncoder(nn.Module):
     ):
         if pos.ndim == 2:
             pos = jnp.broadcast_to(pos[None], src.shape)
-        layer_cls = FusionEncoderLayer
-        if train and self.use_remat:
-            layer_cls = nn.remat(FusionEncoderLayer, static_argnums=())
         out = src
         for i in range(self.num_layers):
-            out = layer_cls(
+            layer = FusionEncoderLayer(
                 self.d_model, self.dim_feedforward, self.num_heads, self.dropout,
                 dtype=self.dtype, name=f"layers_{i}",
-            )(
-                out, prompt, query_pos=pos,
-                memory_key_padding_mask=prompt_key_padding_mask, train=train,
             )
+            if train and self.use_remat:
+                # activation checkpointing per layer; `train` stays a Python
+                # constant by closing over it instead of passing through remat
+                def call(mdl, o):
+                    return mdl(
+                        o, prompt, query_pos=pos,
+                        memory_key_padding_mask=prompt_key_padding_mask,
+                        train=True,
+                    )
+
+                out = nn.remat(call)(layer, out)
+            else:
+                out = layer(
+                    out, prompt, query_pos=pos,
+                    memory_key_padding_mask=prompt_key_padding_mask, train=train,
+                )
         return out

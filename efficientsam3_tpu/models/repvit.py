@@ -128,12 +128,12 @@ class RepViTBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         c = x.shape[-1]
         if self.stride == 2:
-            y = ConvBN(c, 3, 2, 1, groups=c, dtype=self.dtype, name="tm_dw")(
+            y = ConvBN(c, 3, 2, 1, groups=c, deploy=self.deploy, dtype=self.dtype, name="tm_dw")(
                 x, train=train
             )
             if self.use_se:
                 y = SqueezeExcite(dtype=self.dtype, name="tm_se")(y)
-            y = ConvBN(self.out_channels, 1, dtype=self.dtype, name="tm_pw")(
+            y = ConvBN(self.out_channels, 1, deploy=self.deploy, dtype=self.dtype, name="tm_pw")(
                 y, train=train
             )
         else:
@@ -143,11 +143,11 @@ class RepViTBlock(nn.Module):
             if self.use_se:
                 y = SqueezeExcite(dtype=self.dtype, name="tm_se")(y)
         # channel mixer (residual): pw expand 2x -> GELU -> pw project
-        z = ConvBN(2 * self.out_channels, 1, dtype=self.dtype, name="cm_expand")(
+        z = ConvBN(2 * self.out_channels, 1, deploy=self.deploy, dtype=self.dtype, name="cm_expand")(
             y, train=train
         )
         z = gelu_exact(z)
-        z = ConvBN(self.out_channels, 1, dtype=self.dtype, name="cm_project")(
+        z = ConvBN(self.out_channels, 1, deploy=self.deploy, dtype=self.dtype, name="cm_project")(
             z, train=train
         )
         return y + z
@@ -167,11 +167,11 @@ class RepViT(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         c0 = self.cfgs[0][0]
-        x = ConvBN(c0 // 2, 3, 2, 1, dtype=self.dtype, name="patch_embed_0")(
+        x = ConvBN(c0 // 2, 3, 2, 1, deploy=self.deploy, dtype=self.dtype, name="patch_embed_0")(
             x, train=train
         )
         x = gelu_exact(x)
-        x = ConvBN(c0, 3, 2, 1, dtype=self.dtype, name="patch_embed_1")(x, train=train)
+        x = ConvBN(c0, 3, 2, 1, deploy=self.deploy, dtype=self.dtype, name="patch_embed_1")(x, train=train)
         for i, (c, use_se, s) in enumerate(self.cfgs):
             oc = make_divisible(c, 8)
             x = RepViTBlock(
@@ -230,6 +230,77 @@ REPVIT_VARIANTS = {
     "m1.1": repvit_m1_1, "m1_1": repvit_m1_1,
     "m2.3": repvit_m2_3, "m2_3": repvit_m2_3,
 }
+
+def _fuse_conv_bn(conv_kernel, bn_params, bn_stats, eps=1e-5):
+    """Fold BN into a conv kernel (reference Conv2d_BN.fuse, repvit.py:38).
+    kernel HWIO; returns (kernel, bias)."""
+    import numpy as np
+
+    scale = np.asarray(bn_params["scale"]) / np.sqrt(
+        np.asarray(bn_stats["var"]) + eps
+    )
+    kernel = np.asarray(conv_kernel) * scale  # broadcast over O (last axis)
+    bias = np.asarray(bn_params["bias"]) - np.asarray(bn_stats["mean"]) * scale
+    return kernel, bias
+
+
+def fuse_repvit_params(params: dict, stats: dict, cfgs) -> dict:
+    """Train-form RepViT params -> deploy-form (deploy=True) params.
+
+    Mirrors the reference's fuse() chain (repvit.py:38,64,96): every
+    Conv+BN folds into one biased conv; the RepVGGDW three-branch mixer
+    (dw3x3+BN, dw1x1, identity) collapses into a single dw3x3 conv followed
+    by folding the outer BN. Pure pytree -> pytree on host numpy.
+    """
+    import numpy as np
+
+    def conv_bn(p, s):
+        k, b = _fuse_conv_bn(p["c"]["kernel"], p["bn"], s["bn"])
+        return {"c": {"kernel": k, "bias": b}}
+
+    out = {
+        "patch_embed_0": conv_bn(params["patch_embed_0"], stats["patch_embed_0"]),
+        "patch_embed_1": conv_bn(params["patch_embed_1"], stats["patch_embed_1"]),
+    }
+    for i, (c, use_se, s_) in enumerate(cfgs):
+        bp = params[f"blocks_{i}"]
+        bs = stats[f"blocks_{i}"]
+        nb = {}
+        if s_ == 2:
+            nb["tm_dw"] = conv_bn(bp["tm_dw"], bs["tm_dw"])
+            nb["tm_pw"] = conv_bn(bp["tm_pw"], bs["tm_pw"])
+            if use_se:
+                nb["tm_se"] = bp["tm_se"]
+        else:
+            rv = bp["tm_repvgg"]
+            rs = bs["tm_repvgg"]
+            # branch 1: dw3x3 conv+BN fused
+            k3, b3 = _fuse_conv_bn(rv["conv"]["c"]["kernel"], rv["conv"]["bn"], rs["conv"]["bn"])
+            # branch 2: dw1x1 conv (biased) padded to 3x3
+            k1 = np.asarray(rv["conv1"]["kernel"])  # (1, 1, 1, C)
+            b1 = np.asarray(rv["conv1"]["bias"])
+            k1p = np.zeros_like(k3)
+            k1p[1:2, 1:2] = k1
+            # branch 3: identity as a centered dw kernel
+            cdim = k3.shape[-1]
+            kid = np.zeros_like(k3)
+            kid[1, 1, 0, :] = 1.0
+            k = k3 + k1p + kid
+            b = b3 + b1
+            # outer BN folds on top
+            scale = np.asarray(rv["bn"]["scale"]) / np.sqrt(
+                np.asarray(rs["bn"]["var"]) + 1e-5
+            )
+            k = k * scale
+            b = np.asarray(rv["bn"]["bias"]) + (b - np.asarray(rs["bn"]["mean"])) * scale
+            nb["tm_repvgg"] = {"fused": {"kernel": k, "bias": b}}
+            if use_se:
+                nb["tm_se"] = bp["tm_se"]
+        nb["cm_expand"] = conv_bn(bp["cm_expand"], bs["cm_expand"])
+        nb["cm_project"] = conv_bn(bp["cm_project"], bs["cm_project"])
+        out[f"blocks_{i}"] = nb
+    return out
+
 
 REPVIT_OUT_CHANNELS = {
     "m0.9": 384, "m0_9": 384, "m1.1": 512, "m1_1": 512, "m2.3": 640, "m2_3": 640,

@@ -156,13 +156,17 @@ class ViTTrunk(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
 
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
-        block_cls = ViTBlock
-        if train:
-            block_cls = nn.remat(ViTBlock)
         for i in range(self.depth):
             ws = 0 if i in self.global_att_blocks else self.window_size
-            x = block_cls(
+            block = ViTBlock(
                 self.embed_dim, self.num_heads, self.mlp_ratio, ws, h,
                 drop_path=dpr[i], dtype=self.dtype, name=f"blocks_{i}",
-            )(x, train=train)
+            )
+            if train:
+                # per-block activation checkpointing (reference
+                # use_act_checkpoint, vitdet.py:838); `train` closed over so
+                # it stays static under remat
+                x = nn.remat(lambda mdl, xx: mdl(xx, train=True))(block, x)
+            else:
+                x = block(x)
         return x

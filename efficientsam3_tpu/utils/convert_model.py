@@ -140,6 +140,28 @@ def convert_mobileclip_text(sd, p, layers, variant="base"):
     return params, stats
 
 
+def convert_vitdet(sd, p, depth=32):
+    """reference model/vitdet.py ViT trunk -> models/vitdet.ViTTrunk."""
+    params = {
+        "patch_embed": conv(sd, f"{p}.patch_embed.proj"),
+        "pos_embed": _np(sd[f"{p}.pos_embed"])[0],
+        "ln_pre": layer_norm(sd, f"{p}.ln_pre"),
+    }
+    for i in range(depth):
+        bp = f"{p}.blocks.{i}"
+        params[f"blocks_{i}"] = {
+            "norm1": layer_norm(sd, f"{bp}.norm1"),
+            "attn": {
+                "qkv": linear(sd, f"{bp}.attn.qkv"),
+                "proj": linear(sd, f"{bp}.attn.proj"),
+            },
+            "norm2": layer_norm(sd, f"{bp}.norm2"),
+            "mlp_fc1": linear(sd, f"{bp}.mlp.fc1"),
+            "mlp_fc2": linear(sd, f"{bp}.mlp.fc2"),
+        }
+    return params, {}
+
+
 # ---------------------------------------------------------------------------
 # Fusion encoder / geometry / decoder / seg head / scoring
 # ---------------------------------------------------------------------------

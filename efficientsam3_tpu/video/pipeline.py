@@ -45,6 +45,15 @@ class VideoPCSConfig:
     keep_alive_frames: int = 30  # unmatched masklet survival
     obj_slots: int = 8
     max_dets: int = 20
+    # occlusion suppression (sam3_video_base.py:819): hide masklets whose
+    # tracker object score stays below this for `occlusion_patience` frames
+    occlusion_score_thresh: float = 0.0
+    occlusion_patience: int = 3
+    # reconditioning (sam3_video_base.py:453): when a confirmed masklet
+    # matches a high-confidence detection, re-anchor its memory on the
+    # detection mask as a new conditioning frame
+    recondition_score_thresh: float = 0.8
+    recondition_every: int = 10
 
 
 @dataclasses.dataclass
@@ -55,6 +64,9 @@ class Masklet:
     hits: int = 1
     last_matched: int = 0
     confirmed: bool = False
+    low_score_streak: int = 0
+    occluded: bool = False
+    last_recondition: int = -(10**9)
 
 
 class VideoPCSPredictor:
@@ -124,6 +136,8 @@ class VideoPCSPredictor:
             matched_dets = {i for i, _ in pairs}
             matched_trks = {j for _, j in pairs}
 
+            frame_out = state["non_cond_frames"].get(t)
+            trk_to_det = {j: i for i, j in pairs}
             for m in active:
                 slot = state["obj_ids"].index(m.obj_id)
                 if slot in matched_trks:
@@ -131,6 +145,25 @@ class VideoPCSPredictor:
                     m.last_matched = t
                 if not m.confirmed and m.hits >= cfg.hotstart_min_hits:
                     m.confirmed = True
+                # occlusion suppression: low object score for several frames
+                if frame_out is not None:
+                    score = float(frame_out["object_score_logits"][slot, 0])
+                    if score < cfg.occlusion_score_thresh:
+                        m.low_score_streak += 1
+                    else:
+                        m.low_score_streak = 0
+                    m.occluded = m.low_score_streak >= cfg.occlusion_patience
+                # reconditioning: re-anchor memory on a confident matched det
+                if (
+                    m.confirmed
+                    and slot in trk_to_det
+                    and t - m.last_recondition >= cfg.recondition_every
+                    and det_scores[trk_to_det[slot]] >= cfg.recondition_score_thresh
+                ):
+                    self.tracker.add_new_mask(
+                        state, t, m.obj_id, det_masks[trk_to_det[slot]]
+                    )
+                    m.last_recondition = t
                 if t - m.last_matched > cfg.keep_alive_frames:
                     self.tracker.remove_object(state, m.obj_id)
                     del masklets[m.obj_id]
@@ -149,6 +182,8 @@ class VideoPCSPredictor:
             # 5. outputs (confirmed masklets only, after hotstart delay)
             out_ids, out_masks = [], []
             for m in masklets.values():
+                if m.occluded:
+                    continue
                 if not m.confirmed and t - m.start_frame < cfg.hotstart_delay:
                     continue
                 slot = state["obj_ids"].index(m.obj_id)
