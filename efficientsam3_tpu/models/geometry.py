@@ -69,6 +69,25 @@ class Prompt:
         )
 
 
+class _TinyDense(nn.Module):
+    """Dense with a tiny (2-4) contraction dim, expanded elementwise: such
+    matmuls hit low-precision fast paths on both XLA:CPU and the MXU (see
+    models/common.PositionEmbeddingRandom). Param layout matches nn.Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = jnp.broadcast_to(b, x.shape[:-1] + (self.features,))
+        for i in range(x.shape[-1]):
+            out = out + x[..., i : i + 1] * k[i]
+        return out
+
+
 class SequenceGeometryEncoder(nn.Module):
     """Prompt -> (B, T, C) tokens + (B, T) pad mask.
 
@@ -79,6 +98,7 @@ class SequenceGeometryEncoder(nn.Module):
     num_layers: int = 3
     roi_size: int = 7
     num_heads: int = 8
+    dim_feedforward: int = 2048
     dropout: float = 0.1
     sampling_ratio: int = 2
     dtype: Optional[jnp.dtype] = None
@@ -101,9 +121,12 @@ class SequenceGeometryEncoder(nn.Module):
         img_n = nn.LayerNorm(epsilon=1e-5, name="img_pre_norm")(img_tokens)
         img_map = img_n.reshape(b, h, w, d).transpose(0, 3, 1, 2)  # NCHW for pooling
 
+        def tiny_dense(x, feats, name):
+            return _TinyDense(feats, name=name)(x)
+
         # ---- points: direct + grid-sample pool + sine pos ----
         pts = prompt.points.astype(jnp.float32)
-        p_embed = nn.Dense(d, dtype=self.dtype, name="points_direct_project")(pts)
+        p_embed = tiny_dense(pts, d, "points_direct_project")
         grid = (pts * 2.0 - 1.0)[:, :, None, :]  # (B, NP, 1, 2)
         sampled = grid_sample(img_map, grid)[:, :, :, 0].transpose(0, 2, 1)  # (B,NP,C)
         p_embed = p_embed + nn.Dense(d, dtype=self.dtype, name="points_pool_project")(
@@ -118,7 +141,7 @@ class SequenceGeometryEncoder(nn.Module):
         # ---- boxes: direct + roi-align pool + sine pos ----
         boxes = prompt.boxes.astype(jnp.float32)
         nb = boxes.shape[1]
-        b_embed = nn.Dense(d, dtype=self.dtype, name="boxes_direct_project")(boxes)
+        b_embed = tiny_dense(boxes, d, "boxes_direct_project")
         boxes_xyxy = box_cxcywh_to_xyxy(boxes) * jnp.asarray(
             [w, h, w, h], jnp.float32
         )
@@ -161,7 +184,7 @@ class SequenceGeometryEncoder(nn.Module):
             img_pos = jnp.broadcast_to(img_pos[None], img_tokens.shape)
         for i in range(self.num_layers):
             tokens = FusionEncoderLayer(
-                d, 2048, self.num_heads, self.dropout,
+                d, self.dim_feedforward, self.num_heads, self.dropout,
                 pos_enc_at_attn=False,
                 pos_enc_at_cross_attn_keys=True,
                 pos_enc_at_cross_attn_queries=False,

@@ -40,6 +40,8 @@ def roi_align(
         raise ValueError("static TPU roi_align requires sampling_ratio > 0")
     n, c, h, w = features.shape
     out_h, out_w = output_size
+    if boxes.shape[0] == 0:
+        return jnp.zeros((0, c, out_h, out_w), features.dtype)
     offset = 0.5 if aligned else 0.0
 
     x1 = boxes[:, 0] * spatial_scale - offset
