@@ -79,6 +79,7 @@ class MemoryAttention(nn.Module):
     num_layers: int = 4
     d_model: int = 256
     kv_in_dim: int = 64
+    dim_feedforward: int = 2048
     pos_enc_at_input: bool = True
     dtype: Optional[jnp.dtype] = None
 
@@ -101,8 +102,8 @@ class MemoryAttention(nn.Module):
             out = out + 0.1 * src_pos
         for i in range(self.num_layers):
             out = MemoryAttentionLayer(
-                self.d_model, kv_in_dim=self.kv_in_dim, dtype=self.dtype,
-                name=f"layers_{i}",
+                self.d_model, self.dim_feedforward, kv_in_dim=self.kv_in_dim,
+                dtype=self.dtype, name=f"layers_{i}",
             )(
                 out, memory, memory_pos, memory_mask,
                 num_obj_ptr_tokens=num_obj_ptr_tokens, train=train,

@@ -14,6 +14,10 @@ from efficientsam3_tpu.utils import convert_backbones as cb
 
 from _reference import install_omegaconf_stub, install_timm_stub, ref_module
 
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
 RNG = np.random.default_rng(2)
 
 
@@ -28,6 +32,7 @@ def _assert_close(got_nhwc, want_nchw, atol, rtol):
 
 
 def test_efficientvit_b0_parity():
+    RNG = _rng(2)
     install_omegaconf_stub()
     bb_mod = ref_module("backbones.efficientvit.efficientvit.backbone")
     torch.manual_seed(0)
@@ -48,6 +53,7 @@ def test_efficientvit_b0_parity():
 
 
 def test_repvit_m0_9_parity():
+    RNG = _rng(3)
     install_timm_stub()
     rv_mod = ref_module("backbones.repvit")
     torch.manual_seed(0)
@@ -79,6 +85,7 @@ def test_repvit_m0_9_parity():
 
 
 def test_repvit_m0_9_parity_shallow():
+    RNG = _rng(4)
     """Tight-tolerance wiring check on an 8-block prefix (covers every block
     type: stride-2 token mixer, RepVGGDW, SE, channel mixer)."""
     install_timm_stub()
@@ -108,6 +115,7 @@ def test_repvit_m0_9_parity_shallow():
 
 
 def test_tinyvit_5m_parity():
+    RNG = _rng(5)
     install_timm_stub()
     tv_mod = ref_module("backbones.tiny_vit")
     torch.manual_seed(0)

@@ -9,8 +9,11 @@ import jax.numpy as jnp
 
 from _reference import install_torchvision_stub, ref_module
 
-RNG = np.random.default_rng(21)
 D = 64
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
 
 
 def _mha(d, heads, dropout=0.0, batch_first=True):
@@ -18,6 +21,7 @@ def _mha(d, heads, dropout=0.0, batch_first=True):
 
 
 def test_fusion_encoder_layer_parity():
+    RNG = _rng(21)
     enc_mod = ref_module("model.encoder")
     torch.manual_seed(0)
     ref = enc_mod.TransformerEncoderLayer(
@@ -56,6 +60,7 @@ def test_fusion_encoder_layer_parity():
 
 
 def test_teacher_text_encoder_parity():
+    RNG = _rng(22)
     te_mod = ref_module("model.text_encoder_ve")
     torch.manual_seed(1)
 
@@ -89,6 +94,7 @@ def test_teacher_text_encoder_parity():
 
 @pytest.mark.parametrize("backbone", ["MobileCLIP-S0", "MobileCLIP-S1"])
 def test_mobileclip_student_parity(backbone):
+    RNG = _rng(23)
     from _reference import install_ftfy_stub, install_iopath_stub, install_timm_stub
 
     install_torchvision_stub()
@@ -163,6 +169,7 @@ def test_mobileclip_student_parity(backbone):
 
 
 def test_decoder_parity():
+    RNG = _rng(24)
     install_torchvision_stub()
     dec_mod = ref_module("model.decoder")
     torch.manual_seed(3)
