@@ -88,6 +88,17 @@ class Sam3Processor:
         state["image_feats"] = self._encode_image(self.variables, img)
         return state
 
+    def set_image_batch(self, images, state: Optional[dict] = None) -> dict:
+        """Batched variant (reference sam3_image_processor.py:79): one
+        encode over a stacked batch; grounding then runs batched too."""
+        state = state if state is not None else {}
+        state["original_heights"] = [im.shape[0] for im in images]
+        state["original_widths"] = [im.shape[1] for im in images]
+        batch = jnp.concatenate([self.preprocess(im) for im in images], axis=0)
+        state["image_feats"] = self._encode_image(self.variables, batch)
+        state["batch_size"] = len(images)
+        return state
+
     def _empty_prompt(self):
         return Prompt.empty(1, self.max_boxes, self.max_points)
 
@@ -155,6 +166,8 @@ class Sam3Processor:
     # ------------------------------------------------------------------
 
     def _forward_grounding(self, state: dict) -> dict:
+        if "batch_size" in state:
+            return self._forward_grounding_batch(state)
         feats = state["image_feats"]
         tm, tmask = state["text"]
         out = self._ground(
@@ -185,4 +198,49 @@ class Sam3Processor:
         state["boxes"] = boxes
         state["masks_logits"] = masks_prob
         state["masks"] = masks_prob > 0.5
+        return state
+
+    def _forward_grounding_batch(self, state: dict) -> dict:
+        """Batched grounding (reference get_masks_batch): reuses the cached
+        single-image `ground` program per image (host loop — each image has
+        its own original size, so upsampling is per-image anyway) and
+        returns per-image lists."""
+        feats = state["image_feats"]
+        tm, tmask = state["text"]
+        prompt = state["geometric_prompt"]
+        scores, boxes_all, masks_all, masks_bin = [], [], [], []
+        for i in range(state["batch_size"]):
+            # fpn levels are (B, H, W, C); pos levels are unbatched (H, W, C)
+            fpn_i = [lvl[i : i + 1] for lvl in feats["fpn"]]
+            out = self._ground(self.variables, fpn_i, feats["pos"], tm, tmask, prompt)
+            logits = np.asarray(out["pred_logits"])[0, :, 0]
+            presence = 1.0 / (1.0 + np.exp(-np.asarray(out["presence_logit_dec"])[0]))
+            probs = 1.0 / (1.0 + np.exp(-logits)) * float(presence)
+            keep = probs > self.confidence_threshold
+            boxes_c = np.asarray(out["pred_boxes"])[0][keep]
+            masks_lo = np.asarray(out["pred_masks"])[0][keep]
+            h = state["original_heights"][i]
+            w = state["original_widths"][i]
+            boxes = np.asarray(
+                box_cxcywh_to_xyxy(jnp.asarray(boxes_c))
+            ) * np.asarray([w, h, w, h], np.float32)
+            if masks_lo.shape[0] > 0:
+                mprob = 1.0 / (
+                    1.0
+                    + np.exp(
+                        -np.asarray(
+                            resize_bilinear(jnp.asarray(masks_lo)[:, None], (h, w))
+                        )[:, 0]
+                    )
+                )
+            else:
+                mprob = np.zeros((0, h, w), np.float32)
+            scores.append(probs[keep])
+            boxes_all.append(boxes)
+            masks_all.append(mprob)
+            masks_bin.append(mprob > 0.5)
+        state["scores"] = scores
+        state["boxes"] = boxes_all
+        state["masks_logits"] = masks_all
+        state["masks"] = masks_bin
         return state
