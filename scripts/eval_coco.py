@@ -9,6 +9,11 @@ boxes, report mask mIoU.
       --backbone efficientvit --model b1 --max-images 100
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

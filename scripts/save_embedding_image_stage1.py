@@ -6,6 +6,11 @@ records; `--check-saved-embed` re-reads records and compares to fresh
 teacher outputs (the reference's verification mode).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import glob
 import os

@@ -9,6 +9,11 @@ scripts/save_embedding_image_stage1.py for the export pass).
       --backbone efficientvit --model b1 --batch-size 64 --epochs 50
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 import glob

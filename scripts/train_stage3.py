@@ -5,6 +5,11 @@ trunks inside the full SAM3 model on mixed COCO-format sources with the
 frozen-head optimizer partition.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 import json
