@@ -44,6 +44,8 @@ class Sam3ImageModel(nn.Module):
     d_model: int = 256
     num_queries: int = 200
     add_sam2_neck: bool = False
+    fusion_layers: int = 6  # override for tiny test/dryrun configs
+    decoder_layers: int = 6
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -72,11 +74,12 @@ class Sam3ImageModel(nn.Module):
             d_model=self.d_model, dtype=self.dtype, name="geometry_encoder"
         )
         self.fusion_encoder = FusionEncoder(
-            d_model=self.d_model, dtype=self.dtype, name="fusion_encoder"
+            num_layers=self.fusion_layers, d_model=self.d_model,
+            dtype=self.dtype, name="fusion_encoder",
         )
         self.decoder = TransformerDecoder(
-            num_queries=self.num_queries, d_model=self.d_model, dtype=self.dtype,
-            name="decoder",
+            num_layers=self.decoder_layers, num_queries=self.num_queries,
+            d_model=self.d_model, dtype=self.dtype, name="decoder",
         )
         self.seg_head = UniversalSegmentationHead(
             hidden_dim=self.d_model, dtype=self.dtype, name="seg_head"

@@ -5,11 +5,19 @@ from efficientsam3_tpu.parallel.sharding import (
     replicate,
     shard_batch,
 )
+from efficientsam3_tpu.parallel.tensor_parallel import (
+    count_sharded,
+    shard_params,
+    tp_param_spec,
+)
 
 __all__ = [
+    "count_sharded",
     "frame_parallel",
     "make_mesh",
     "object_parallel",
     "replicate",
     "shard_batch",
+    "shard_params",
+    "tp_param_spec",
 ]

@@ -287,3 +287,63 @@ class TrackerCore(nn.Module):
         is_obj = (object_score_logits > 0).astype(mem.dtype)  # (B, 1)
         mem = mem + (1.0 - is_obj[:, :, None, None]) * self.no_obj_embed_spatial[0]
         return mem  # (B, Hm, Wm, mem_dim); pos is a pure fn of shape
+
+
+def init_tracker_variables(core: TrackerCore, rng):
+    """Random-init ALL of a TrackerCore's parameters in one call.
+
+    Flax creates params lazily per applied method, so a plain init() only
+    covers one path; this initializes every jitted method (memory attention,
+    SAM heads, high-res convs, mask-as-output, memory encoder) and merges
+    the subtrees — the from-scratch counterpart of
+    utils/convert_model.convert_tracker_core.
+    """
+    fs, d, md = core.feat_size, core.d_model, core.mem_dim
+    b = 1
+    tokens = jnp.zeros((b, fs * fs, d))
+    s0 = jnp.zeros((b, 4 * fs, 4 * fs, d // 8))
+    s1 = jnp.zeros((b, 2 * fs, 2 * fs, d // 4))
+    coords = jnp.zeros((b, 2, 2))
+    labels = -jnp.ones((b, 2), jnp.int32)
+    img = core.image_size
+
+    v1 = core.init(
+        rng, tokens.reshape(b, fs, fs, d), coords, labels, (s0, s1), True,
+        method=core.forward_sam_heads,
+    )
+    v2 = core.init(
+        rng, tokens, jnp.zeros((fs * fs, d)),
+        jnp.zeros((b, core.num_maskmem, fs, fs, md)),
+        jnp.zeros((b, core.num_maskmem), jnp.int32),
+        jnp.ones((b, core.num_maskmem), bool),
+        jnp.zeros((b, core.max_obj_ptrs, d)),
+        jnp.zeros((b, core.max_obj_ptrs)),
+        jnp.ones((b, core.max_obj_ptrs), bool),
+        method=core.condition_features,
+    )
+    v3 = core.init(
+        rng, tokens, jnp.zeros((b, 1, img, img)), jnp.zeros((b, 1)), False,
+        method=core.encode_memory,
+    )
+    # high_res_convs maps the RAW neck levels (d channels) down to d/8, d/4
+    v4 = core.init(
+        rng, jnp.zeros((b, 4 * fs, 4 * fs, d)), jnp.zeros((b, 2 * fs, 2 * fs, d)),
+        method=lambda m, a, c: m.sam_mask_decoder.high_res_convs(a, c),
+    )
+    v5 = core.init(
+        rng, tokens.reshape(b, fs, fs, d), (s0, s1),
+        jnp.zeros((b, img, img, 1)),
+        method=core.use_mask_as_output,
+    )
+
+    def merge(*trees):
+        out = {}
+        for t in trees:
+            for k, v in t.items():
+                if k in out and isinstance(out[k], dict):
+                    out[k] = merge(out[k], v)
+                else:
+                    out[k] = v
+        return out
+
+    return {"params": merge(*(v["params"] for v in (v2, v3, v1, v4, v5)))}

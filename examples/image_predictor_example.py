@@ -7,7 +7,10 @@ utils/convert_model.convert_image_model (or random init for a dry run).
 Run:  python examples/image_predictor_example.py [image.jpg] [--random-init]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

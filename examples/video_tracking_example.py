@@ -6,7 +6,10 @@ notebooks, over a JPEG frame folder (DAVIS/MOSE layout).
 Run:  python examples/video_tracking_example.py <frames_dir>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -32,9 +35,11 @@ def main():
     img_vars = image_model.init(
         rng, img0, jnp.zeros((1, 32), jnp.int32), Prompt.empty(1, 8, 8)
     )
-    # tracker variables: init each jitted method's params (see tests/_tiny_setup
-    # for the pattern) or load converted reference weights via
-    # utils/convert_model.convert_tracker_core.
+    # tracker variables: random init here; for real use, load converted
+    # reference weights via utils/convert_model.convert_tracker_core.
+    from efficientsam3_tpu.video.tracker import init_tracker_variables
+
+    tracker_vars = init_tracker_variables(tracker_core, rng)
 
     encode = jax.jit(
         lambda v, img: image_model.apply(v, img, method=image_model.encode_image)
@@ -49,15 +54,14 @@ def main():
     else:
         frames = (np.random.rand(4, res, res, 3) * 255).astype(np.uint8)
 
-    # ... initialize tracker variables, then:
-    # tracker = TrackerPredictor(tracker_core, tracker_vars, encode_frame)
-    # state = tracker.init_state(frames.astype(np.float32) / 255.0)
-    # tracker.add_new_points_or_box(state, 0, obj_id=1,
-    #                               points=[[w//2, h//2]], labels=[1])
-    # for frame_idx, obj_ids, masks in tracker.propagate_in_video(state):
-    #     ...
-    print(f"loaded {len(frames)} frames at {res}x{res}; see comments to wire "
-          "tracker variables (converted checkpoint or init)")
+    tracker = TrackerPredictor(tracker_core, tracker_vars, encode_frame)
+    state = tracker.init_state(frames.astype(np.float32) / 255.0)
+    tracker.add_new_points_or_box(
+        state, 0, obj_id=1, points=[[res // 2, res // 2]], labels=[1]
+    )
+    for frame_idx, obj_ids, masks in tracker.propagate_in_video(state):
+        areas = [int((m > 0).sum()) for m in masks]
+        print(f"frame {frame_idx}: objects {list(obj_ids)} mask areas {areas}")
 
 
 if __name__ == "__main__":

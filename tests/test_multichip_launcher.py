@@ -26,3 +26,6 @@ def test_dryrun_multichip_8():
     )
     assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr}"
     assert "dryrun_multichip(8) ok" in res.stdout
+    # the tensor-parallel detector section must actually shard weights
+    assert "tp_detector: dp=2 tp=2" in res.stdout
+    assert "sharded_weights=0" not in res.stdout

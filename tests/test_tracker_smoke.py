@@ -138,3 +138,33 @@ def test_vos_predictor_three_frames():
     for _, ids, m in outs:
         assert ids == [7]
         assert np.isfinite(m).all()
+
+
+def test_init_tracker_variables_covers_all_methods():
+    import jax
+
+    from efficientsam3_tpu.video.tracker import TrackerCore, init_tracker_variables
+
+    core = TrackerCore(
+        image_size=64, backbone_stride=8, d_model=32, mem_dim=8,
+        num_maskmem=3, max_obj_ptrs=4,
+    )
+    variables = init_tracker_variables(core, jax.random.PRNGKey(0))
+    params = variables["params"]
+    for sub in ("memory_attention", "memory_encoder", "sam_prompt_encoder",
+                "sam_mask_decoder", "obj_ptr_proj"):
+        assert sub in params, f"missing {sub}: {sorted(params)}"
+    # and it actually drives the heads (no lazy-init holes)
+    core2, tiny_vars, tokens, s0, s1 = _tiny_setup()
+    fs = core.feat_size
+    import jax.numpy as jnp
+
+    cond = core.apply(variables, tokens[:1, :, :32] * 0 + 0.1,
+                      method=core.no_mem_features)
+    out = core.apply(
+        variables, cond.reshape(1, fs, fs, 32), jnp.zeros((1, 2, 2)),
+        -jnp.ones((1, 2), jnp.int32),
+        (jnp.zeros((1, 4 * fs, 4 * fs, 4)), jnp.zeros((1, 2 * fs, 2 * fs, 8))),
+        True, method=core.forward_sam_heads,
+    )
+    assert all(jnp.isfinite(x).all() for x in jax.tree.leaves(out))
