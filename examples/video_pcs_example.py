@@ -59,10 +59,13 @@ def main():
         return image_model.apply(variables, img, method=image_model.encode_image)
 
     def detector(frame, text_state):
-        # per-frame grounding of the text prompt, host-thresholded
+        # per-frame grounding of the text prompt, host-thresholded.
+        # `frame` arrives normalized at model resolution, shape (H, W, 3).
         state = dict(text_state)
-        state["original_height"], state["original_width"] = frame.shape[1:3]
-        state["image_feats"] = proc._encode_image(proc.variables, frame)
+        state["original_height"], state["original_width"] = frame.shape[:2]
+        state["image_feats"] = proc._encode_image(
+            proc.variables, jnp.asarray(frame, jnp.float32)[None]
+        )
         state = proc._forward_grounding(state)
         return {"masks": state["masks"], "scores": state["scores"],
                 "boxes": state["boxes"]}
@@ -75,6 +78,7 @@ def main():
     pipe = VideoPCSPredictor(detector, tracker, VideoPCSConfig())
 
     frames = load_video_frames(frames_dir, resolution=res)
+    frames = (np.asarray(frames, np.float32) / 255.0 - 0.5) / 0.5
     for t, out in enumerate(pipe.run_video(frames, text_state=text_state)):
         print(f"frame {t}: {len(out['obj_ids'])} objects "
               f"{[int(i) for i in out['obj_ids']]}")
