@@ -4,7 +4,9 @@ Equivalent of the reference's efficientsam3_examples/image predictor
 notebooks. Expects a released checkpoint converted with
 utils/convert_model.convert_image_model (or random init for a dry run).
 
-Run:  python examples/image_predictor_example.py [image.jpg] [--random-init]
+Run:  python examples/image_predictor_example.py [ckpt.pt] [image.jpg]
+With no checkpoint argument the model is randomly initialized (dry run);
+with no image a synthetic one is used.
 """
 
 import os
@@ -23,7 +25,8 @@ from efficientsam3_tpu.processor import Sam3Processor
 
 
 def main():
-    image_path = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if a != "--random-init"]
+    image_path = args[0] if args else None
     model = build_efficientsam3_image_model(
         backbone_type="efficientvit",
         model_name="m",  # EV-M
@@ -40,7 +43,7 @@ def main():
             sd, "efficientvit", "b1", text_encoder_type="MobileCLIP-S0"
         )
         variables = {"params": params, "batch_stats": stats}
-        image_path = sys.argv[2] if len(sys.argv) > 2 else None
+        image_path = args[1] if len(args) > 1 else None
     else:
         variables = model.init(
             jax.random.PRNGKey(0),
