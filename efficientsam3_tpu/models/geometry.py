@@ -11,9 +11,10 @@ sequence + cross-attn to image tokens with sine pos on keys).
 TPU-first design: the Prompt is a pytree of FIXED-width padded arrays
 (batch-first), so any mix of text/box/point prompting compiles to one
 program; "no boxes" is an all-masked row, and the CLS token guarantees a
-non-empty sequence (the reference grows tensors dynamically instead). The
-reference's torchvision roi_align uses adaptive sampling_ratio=-1; we use a
-static sampling grid (sampling_ratio=2 at 72x72 features) to stay jittable.
+non-empty sequence (the reference grows tensors dynamically instead). Box
+pooling matches the reference's torchvision roi_align exactly, including
+adaptive sampling_ratio=-1 (ops/roi_align.py implements the adaptive grid
+with static shapes via a capped, weight-masked sample grid).
 """
 
 from __future__ import annotations
@@ -100,7 +101,7 @@ class SequenceGeometryEncoder(nn.Module):
     num_heads: int = 8
     dim_feedforward: int = 2048
     dropout: float = 0.1
-    sampling_ratio: int = 2
+    sampling_ratio: int = -1  # adaptive, torchvision default
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact

@@ -2,13 +2,19 @@
 
 The reference's geometry encoder pools box-prompt features with
 ``torchvision.ops.roi_align`` (reference sam3/sam3/model/geometry_encoders.py:665,
-aligned=True). This reimplements those semantics from the RoIAlign paper:
-each output bin averages ``sampling_ratio^2`` bilinear samples (or
-ceil(roi_size/out_size)^2 when sampling_ratio <= 0).
+default args: spatial_scale=1, sampling_ratio=-1, aligned=False). This
+reimplements those semantics from the RoIAlign paper: each output bin
+averages ``ratio_h * ratio_w`` bilinear samples, where for adaptive mode
+(sampling_ratio <= 0) ``ratio = ceil(roi_size / out_size)`` per ROI.
 
-TPU-first note: all ROIs are processed as one batched gather — no per-ROI
-Python loop — so the op jits to a single fused gather/arith program with
-static shapes (num_rois is padded by callers).
+TPU-first design: all ROIs are processed as one batched gather - no per-ROI
+Python loop - so the op jits to a single fused gather/arith program with
+static shapes (num_rois is padded by callers). Adaptive sampling keeps
+static shapes by sampling a fixed ``max_sampling_ratio`` grid per bin and
+weighting each sample by ``(k < ratio) / ratio``; sample *positions* are
+computed with the dynamic per-ROI ratio, so the result is bit-comparable to
+torchvision as long as ratio <= max_sampling_ratio (for 72x72 features and
+roi_size 7, ratio <= ceil(72/7) = 11).
 """
 
 from __future__ import annotations
@@ -24,6 +30,7 @@ def roi_align(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
     aligned: bool = True,
+    max_sampling_ratio: int = 16,
 ) -> jnp.ndarray:
     """RoIAlign.
 
@@ -32,12 +39,12 @@ def roi_align(
       boxes: (R, 4) xyxy in input-image coordinates
       batch_indices: (R,) int batch index per ROI
       output_size: (out_h, out_w)
-      sampling_ratio: samples per bin per axis; must be > 0 here (static).
+      sampling_ratio: samples per bin per axis; <= 0 selects torchvision's
+        adaptive mode (per-ROI ceil(bin_size), capped at max_sampling_ratio).
+      max_sampling_ratio: static cap for the adaptive sample grid.
 
     Returns: (R, C, out_h, out_w)
     """
-    if sampling_ratio <= 0:
-        raise ValueError("static TPU roi_align requires sampling_ratio > 0")
     n, c, h, w = features.shape
     out_h, out_w = output_size
     if boxes.shape[0] == 0:
@@ -56,14 +63,27 @@ def roi_align(
 
     bin_w = roi_w / out_w
     bin_h = roi_h / out_h
-    s = sampling_ratio
 
-    # Sample coordinates: (R, out*s) per axis.
+    if sampling_ratio > 0:
+        s = int(sampling_ratio)
+        r_h = jnp.full(boxes.shape[:1], s, jnp.float32)
+        r_w = r_h
+    else:
+        s = int(max_sampling_ratio)
+        # torchvision adaptive: ceil(roi_size / out_size) == ceil(bin)
+        r_h = jnp.clip(jnp.ceil(bin_h), 1.0, s)
+        r_w = jnp.clip(jnp.ceil(bin_w), 1.0, s)
+
+    # Sample coordinates: (R, out*s) per axis; sample k of bin b sits at
+    # (b + (k + 0.5) / ratio) * bin. Samples with k >= ratio get weight 0.
     iy = jnp.arange(out_h * s, dtype=jnp.float32)
     ix = jnp.arange(out_w * s, dtype=jnp.float32)
-    # position of sample k within bin b: (b + (k%s + 0.5)/s) * bin
-    sy = y1[:, None] + (iy[None, :] // s + ((iy[None, :] % s) + 0.5) / s) * bin_h[:, None]
-    sx = x1[:, None] + (ix[None, :] // s + ((ix[None, :] % s) + 0.5) / s) * bin_w[:, None]
+    by, ky = iy // s, iy % s
+    bx, kx = ix // s, ix % s
+    sy = y1[:, None] + (by[None, :] + (ky[None, :] + 0.5) / r_h[:, None]) * bin_h[:, None]
+    sx = x1[:, None] + (bx[None, :] + (kx[None, :] + 0.5) / r_w[:, None]) * bin_w[:, None]
+    wy = jnp.where(ky[None, :] < r_h[:, None], 1.0 / r_h[:, None], 0.0)
+    wx = jnp.where(kx[None, :] < r_w[:, None], 1.0 / r_w[:, None], 0.0)
 
     # torchvision: samples with y < -1 or y > H are zero; else coords clamped
     valid_y = (sy >= -1.0) & (sy <= h)
@@ -104,9 +124,10 @@ def roi_align(
         + v11 * wy1b * wx1b
     )
     mask = (valid_y[:, None, :, None] & valid_x[:, None, None, :]).astype(samples.dtype)
-    samples = samples * mask
+    weight = (wy[:, None, :, None] * wx[:, None, None, :]).astype(samples.dtype)
+    samples = samples * mask * weight
 
-    # Average the s x s samples per bin.
+    # Weighted sum of the s x s samples per bin (weights sum to 1 per bin).
     r = samples.shape[0]
     samples = samples.reshape(r, c, out_h, s, out_w, s)
-    return samples.mean(axis=(3, 5)).astype(features.dtype)
+    return samples.sum(axis=(3, 5)).astype(features.dtype)

@@ -53,10 +53,15 @@ def hungarian_match(
     gamma: float = 2.0,
 ):
     """Returns (assigned_query (B, T) int32, tgt_valid)."""
-    prob = jax.nn.sigmoid(pred_logits[..., 0])  # (B, Q)
-    neg_cost = (1 - alpha) * prob**gamma * (-jnp.log1p(-prob + 1e-8))
-    pos_cost = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
-    c_class = (pos_cost - neg_cost)[:, :, None]  # (B, Q, 1) -> broadcast to T
+    s = pred_logits[..., 0]
+    prob = jax.nn.sigmoid(s)  # (B, Q)
+    # reference matcher.py:590-596: log-sigmoid for numerical stability
+    log_p = jax.nn.log_sigmoid(s)
+    log_1mp = jax.nn.log_sigmoid(-s)
+    c_class = (
+        -alpha * (1 - prob) ** gamma * log_p
+        + (1 - alpha) * prob**gamma * log_1mp
+    )[:, :, None]  # (B, Q, 1) -> broadcast to T
 
     c_bbox = jnp.abs(pred_boxes[:, :, None] - tgt_boxes[:, None, :]).sum(-1)
     giou = jax.vmap(generalized_box_iou)(

@@ -128,8 +128,66 @@ def install_torchvision_stub():
         def __init__(self, *a, **k):
             pass
 
-    def roi_align(*a, **k):  # pragma: no cover
-        raise NotImplementedError("torchvision stub")
+    def roi_align(input, boxes, output_size, spatial_scale=1.0,
+                  sampling_ratio=-1, aligned=False):
+        """Functional torchvision.ops.roi_align oracle in plain torch
+        (paper semantics; adaptive ratio = ceil(bin) when sampling_ratio<=0).
+        boxes: list of per-image (Ki, 4) xyxy tensors, or (K, 5) with batch
+        index in column 0."""
+        import torch as _t
+
+        if isinstance(boxes, (list, tuple)):
+            rois = []
+            for bi, bx in enumerate(boxes):
+                if len(bx):
+                    idx = _t.full((len(bx), 1), float(bi), dtype=bx.dtype)
+                    rois.append(_t.cat([idx, bx], dim=1))
+            rois = (_t.cat(rois, 0) if rois
+                    else _t.zeros(0, 5, dtype=input.dtype))
+        else:
+            rois = boxes
+        out_h, out_w = ((output_size, output_size)
+                        if isinstance(output_size, int) else output_size)
+        n, c, h, w = input.shape
+        r = rois.shape[0]
+        out = _t.zeros(r, c, out_h, out_w, dtype=input.dtype)
+        off = 0.5 if aligned else 0.0
+        for ri in range(r):
+            img = input[int(rois[ri, 0])]
+            x1, y1, x2, y2 = (rois[ri, 1:] * spatial_scale - off).tolist()
+            rw, rh = x2 - x1, y2 - y1
+            if not aligned:
+                rw, rh = max(rw, 1.0), max(rh, 1.0)
+            bw, bh = rw / out_w, rh / out_h
+            ry = sampling_ratio if sampling_ratio > 0 else max(
+                int(-(-rh // out_h)), 1)
+            rx = sampling_ratio if sampling_ratio > 0 else max(
+                int(-(-rw // out_w)), 1)
+            # sample grid (out_h*ry, out_w*rx), bilinear, zero outside [-1, H]
+            sy = _t.tensor(
+                [y1 + (oy + (k + 0.5) / ry) * bh
+                 for oy in range(out_h) for k in range(ry)])
+            sx = _t.tensor(
+                [x1 + (ox + (k + 0.5) / rx) * bw
+                 for ox in range(out_w) for k in range(rx)])
+            vy = (sy >= -1.0) & (sy <= h)
+            vx = (sx >= -1.0) & (sx <= w)
+            syc = sy.clamp(0.0, h - 1)
+            sxc = sx.clamp(0.0, w - 1)
+            y0 = syc.floor().long()
+            x0 = sxc.floor().long()
+            y1i = (y0 + 1).clamp(max=h - 1)
+            x1i = (x0 + 1).clamp(max=w - 1)
+            ly = (syc - y0).to(input.dtype)
+            lx = (sxc - x0).to(input.dtype)
+            v = (img[:, y0][:, :, x0] * ((1 - ly)[:, None] * (1 - lx)[None, :])
+                 + img[:, y0][:, :, x1i] * ((1 - ly)[:, None] * lx[None, :])
+                 + img[:, y1i][:, :, x0] * (ly[:, None] * (1 - lx)[None, :])
+                 + img[:, y1i][:, :, x1i] * (ly[:, None] * lx[None, :]))
+            v = v * (vy[:, None] & vx[None, :]).to(input.dtype)
+            v = v.view(c, out_h, ry, out_w, rx)
+            out[ri] = v.sum(dim=(2, 4)) / (ry * rx)
+        return out
 
     import torch.nn as tnn
 
@@ -141,7 +199,11 @@ def install_torchvision_stub():
             return x
 
     ra.RoIAlign = RoIAlign
-    ops.roi_align = ra
+    ra.roi_align = roi_align
+    # attribute access torchvision.ops.roi_align(...) must be the function
+    # (as in real torchvision); `from torchvision.ops.roi_align import
+    # RoIAlign` still resolves via sys.modules.
+    ops.roi_align = roi_align
     ops.RoIAlign = RoIAlign
     ops.StochasticDepth = StochasticDepth
     ops.masks_to_boxes = roi_align  # stub fn, never called at build time
@@ -258,6 +320,60 @@ def install_omegaconf_stub():
     om.MISSING = object()
     om.OmegaConf = type("OmegaConf", (), {})
     sys.modules["omegaconf"] = om
+
+
+def install_torchmetrics_stub():
+    """torchmetrics is absent; the reference losses only use binary
+    f1_score as a diagnostic metric (never in the core loss)."""
+    if "torchmetrics" in sys.modules:
+        return
+    import torch
+
+    tm = types.ModuleType("torchmetrics")
+    functional = types.ModuleType("torchmetrics.functional")
+
+    def f1_score(preds, target, task="binary", threshold=0.5):
+        p = (preds >= threshold).long()
+        t = target.long()
+        tp = ((p == 1) & (t == 1)).sum().float()
+        fp = ((p == 1) & (t == 0)).sum().float()
+        fn = ((p == 0) & (t == 1)).sum().float()
+        denom = 2 * tp + fp + fn
+        return torch.where(denom > 0, 2 * tp / denom, torch.tensor(0.0))
+
+    functional.f1_score = f1_score
+    tm.functional = functional
+    sys.modules["torchmetrics"] = tm
+    sys.modules["torchmetrics.functional"] = functional
+
+
+def install_triton_focal_stub():
+    """Replace sam3.train.loss.sigmoid_focal_loss (Triton kernels) with the
+    equivalent plain-torch math (the reference's own triton=False fallback,
+    loss_fns.py:157-170)."""
+    name = "sam3.train.loss.sigmoid_focal_loss"
+    if name in sys.modules:
+        return
+    import torch
+    import torch.nn.functional as F
+
+    mod = types.ModuleType(name)
+
+    def triton_sigmoid_focal_loss(inputs, targets, alpha, gamma):
+        prob = inputs.sigmoid()
+        ce = F.binary_cross_entropy_with_logits(inputs, targets, reduction="none")
+        p_t = prob * targets + (1 - prob) * (1 - targets)
+        loss = ce * ((1 - p_t) ** gamma)
+        if alpha >= 0:
+            loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+        return loss
+
+    def triton_sigmoid_focal_loss_reduce(inputs, targets, alpha, gamma):
+        return triton_sigmoid_focal_loss(inputs, targets, alpha, gamma).sum()
+
+    mod.triton_sigmoid_focal_loss = triton_sigmoid_focal_loss
+    mod.triton_sigmoid_focal_loss_reduce = triton_sigmoid_focal_loss_reduce
+    sys.modules[name] = mod
 
 
 def ref_module(name: str):

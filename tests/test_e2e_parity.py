@@ -1,0 +1,158 @@
+"""Full-model end-to-end numerical parity vs the reference EfficientSAM3.
+
+Builds the seeded reference `build_efficientsam3_image_model` (torch CPU),
+converts its state_dict with utils/convert_model.convert_image_model, runs
+BOTH models on the same image + text + geometry inputs, and asserts the
+grounding outputs (pred_logits / pred_boxes / pred_masks / presence) match.
+
+This converts the per-layer parity suite into a whole-system guarantee:
+composition/wiring bugs (normalization order, scalp, neck wiring, prompt
+concat order) can only be caught here. Reference call path:
+sam3/sam3/model/sam3_image.py:442 forward_grounding, driven the same way
+Sam3Processor drives it (sam3_image_processor.py:220).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from _reference import (
+    install_ftfy_stub,
+    install_iopath_stub,
+    install_omegaconf_stub,
+    install_pycocotools_stub,
+    install_timm_stub,
+    install_torchvision_stub,
+    ref_module,
+)
+
+BPE = "/root/reference/sam3/assets/bpe_simple_vocab_16e6.txt.gz"
+
+
+def _build_ref_image_model():
+    install_torchvision_stub()
+    install_timm_stub()
+    install_ftfy_stub()
+    install_iopath_stub()
+    install_omegaconf_stub()
+    install_pycocotools_stub()
+    mb = ref_module("model_builder")
+    torch.manual_seed(0)
+    ref = mb.build_efficientsam3_image_model(
+        bpe_path=BPE,
+        device="cpu",
+        eval_mode=True,
+        load_from_HF=False,
+        backbone_type="efficientvit",
+        model_name="b0",
+        text_encoder_type="MobileCLIP-S0",
+        text_encoder_context_length=77,
+        enable_inst_interactivity=False,
+    )
+    ref.eval()
+    return ref
+
+
+@pytest.mark.slow
+def test_forward_grounding_e2e_parity():
+    ref = _build_ref_image_model()
+    sd = {k: v for k, v in ref.state_dict().items()}
+
+    from efficientsam3_tpu.utils.checkpoint import clean_reference_state_dict
+    from efficientsam3_tpu.utils.convert_model import convert_image_model
+
+    params, stats = convert_image_model(
+        clean_reference_state_dict(sd),
+        backbone_type="efficientvit",
+        model_name="b0",
+        text_encoder_type="MobileCLIP-S0",
+    )
+
+    # ---- shared inputs: normalized 224x224 image (the student encoder
+    # interpolates trunk features to 72x72 regardless of input size,
+    # model_builder.py:764-787), one text phrase, 2 points + 1 box ----
+    rng = np.random.default_rng(7)
+    img_u8 = rng.integers(0, 256, (224, 224, 3), np.uint8)
+    img = (img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5  # mean/std 0.5
+    phrase = "a photo of a cat"
+    points = np.array([[0.3, 0.4], [0.72, 0.55]], np.float32)  # [0,1] xy
+    point_labels = np.array([1, 0], np.int32)
+    box = np.array([0.5, 0.5, 0.4, 0.3], np.float32)  # cxcywh normalized
+
+    # ---- reference forward (torch) ----
+    dm = ref_module("model.data_misc")
+    ge = ref_module("model.geometry_encoders")
+    find = dm.FindStage(
+        img_ids=torch.tensor([0], dtype=torch.long),
+        text_ids=torch.tensor([0], dtype=torch.long),
+        input_boxes=None,
+        input_boxes_mask=None,
+        input_boxes_label=None,
+        input_points=None,
+        input_points_mask=None,
+    )
+    prompt_ref = ge.Prompt(
+        point_embeddings=torch.from_numpy(points)[:, None, :],
+        point_mask=torch.zeros(1, 2, dtype=torch.bool),
+        point_labels=torch.from_numpy(point_labels.astype(np.int64))[:, None],
+        box_embeddings=torch.from_numpy(box)[None, None, :],
+        box_mask=torch.zeros(1, 1, dtype=torch.bool),
+        box_labels=torch.ones(1, 1, dtype=torch.long),
+    )
+    img_t = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        bb = ref.backbone.forward_image(img_t)
+        bb.update(ref.backbone.forward_text([phrase], device="cpu"))
+        out_ref = ref.forward_grounding(
+            backbone_out=bb, find_input=find, find_target=None,
+            geometric_prompt=prompt_ref,
+        )
+
+    # ---- mine (jax) ----
+    from efficientsam3_tpu.build import build_efficientsam3_image_model
+    from efficientsam3_tpu.models.geometry import Prompt
+    from efficientsam3_tpu.utils.tokenizer import ClipTokenizer
+
+    model = build_efficientsam3_image_model(
+        backbone_type="efficientvit", model_name="b0",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=77,
+    )
+    tokens = ClipTokenizer(BPE)([phrase], context_length=77)
+    prompt = Prompt(
+        boxes=jnp.asarray(box)[None, None, :],
+        box_mask=jnp.zeros((1, 1), bool),
+        box_labels=jnp.ones((1, 1), jnp.int32),
+        points=jnp.asarray(points)[None],
+        point_mask=jnp.zeros((1, 2), bool),
+        point_labels=jnp.asarray(point_labels)[None],
+    )
+    out = jax.jit(
+        lambda v, im, tok, pr: model.apply(v, im, tok, pr, train=False)
+    )({"params": params, "batch_stats": stats}, jnp.asarray(img)[None],
+      jnp.asarray(tokens, jnp.int32), prompt)
+
+    got_logits = np.asarray(out["pred_logits"])[..., 0]
+    want_logits = out_ref["pred_logits"].numpy()[..., 0]
+    np.testing.assert_allclose(got_logits, want_logits, atol=2e-3, rtol=1e-3)
+
+    got_boxes = np.asarray(out["pred_boxes"])
+    want_boxes = out_ref["pred_boxes"].numpy()
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=2e-3, rtol=1e-3)
+
+    got_presence = np.asarray(out["presence_logit_dec"]).reshape(-1)
+    want_presence = out_ref["presence_logit_dec"].numpy().reshape(-1)
+    np.testing.assert_allclose(got_presence, want_presence, atol=2e-3, rtol=1e-3)
+
+    got_masks = np.asarray(out["pred_masks"])
+    want_masks = out_ref["pred_masks"].numpy()
+    assert got_masks.shape == want_masks.shape
+    # mask logits: compare where it matters (everything within a loose atol,
+    # plus exact thresholded agreement on the confident queries)
+    np.testing.assert_allclose(got_masks, want_masks, atol=5e-2, rtol=1e-2)
+    top = np.argsort(-want_logits[0])[:5]
+    np.testing.assert_allclose(
+        got_masks[0, top], want_masks[0, top], atol=1e-2, rtol=1e-2
+    )

@@ -65,7 +65,8 @@ def test_grid_sample_parity(align_corners, padding_mode):
 
 
 def _roi_align_reference(feats, boxes, batch_idx, out_size, scale, ratio, aligned):
-    """Pure-numpy RoIAlign oracle (torchvision semantics, aligned=True)."""
+    """Pure-numpy RoIAlign oracle (torchvision semantics, incl. adaptive
+    sampling_ratio <= 0: per-ROI per-axis ceil(bin))."""
     n, c, h, w = feats.shape
     out_h, out_w = out_size
     r = boxes.shape[0]
@@ -79,13 +80,15 @@ def _roi_align_reference(feats, boxes, batch_idx, out_size, scale, ratio, aligne
         if not aligned:
             rw, rh = max(rw, 1.0), max(rh, 1.0)
         bw, bh = rw / out_w, rh / out_h
+        ratio_y = ratio if ratio > 0 else max(int(np.ceil(rh / out_h)), 1)
+        ratio_x = ratio if ratio > 0 else max(int(np.ceil(rw / out_w)), 1)
         for oy in range(out_h):
             for ox in range(out_w):
                 acc = 0.0
-                for sy in range(ratio):
-                    for sx in range(ratio):
-                        yy = y1 + (oy + (sy + 0.5) / ratio) * bh
-                        xx = x1 + (ox + (sx + 0.5) / ratio) * bw
+                for sy in range(ratio_y):
+                    for sx in range(ratio_x):
+                        yy = y1 + (oy + (sy + 0.5) / ratio_y) * bh
+                        xx = x1 + (ox + (sx + 0.5) / ratio_x) * bw
                         if yy < -1.0 or yy > h or xx < -1.0 or xx > w:
                             continue
                         yy = min(max(yy, 0.0), h - 1)
@@ -99,7 +102,7 @@ def _roi_align_reference(feats, boxes, batch_idx, out_size, scale, ratio, aligne
                             + img[:, y1i, x0] * ly * (1 - lx)
                             + img[:, y1i, x1i] * ly * lx
                         )
-                out[ri, :, oy, ox] = acc / (ratio * ratio)
+                out[ri, :, oy, ox] = acc / (ratio_y * ratio_x)
     return out
 
 
@@ -123,3 +126,41 @@ def test_roi_align_parity():
         )
     )
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_align_adaptive_parity():
+    """Adaptive sampling_ratio=-1, aligned=False: the geometry-encoder box
+    pooling configuration (reference geometry_encoders.py:665 calls
+    torchvision.ops.roi_align with default spatial_scale/ratio/aligned)."""
+    feats = RNG.standard_normal((2, 4, 72, 72)).astype(np.float32)
+    boxes = np.array(
+        [
+            [0.0, 0.0, 72.0, 72.0],   # full image: ratio = ceil(72/7) = 11
+            [10.0, 20.0, 18.0, 26.0],  # small box: ratio 2 x 1
+            [5.5, 3.25, 40.0, 70.0],
+            [30.0, 30.0, 30.5, 31.0],  # sub-bin box
+        ],
+        np.float32,
+    )
+    bidx = np.array([0, 1, 0, 1], np.int32)
+    want = _roi_align_reference(feats, boxes, bidx, (7, 7), 1.0, -1, False)
+    got = np.asarray(
+        roi_align(
+            jnp.asarray(feats), jnp.asarray(boxes), jnp.asarray(bidx), (7, 7),
+            spatial_scale=1.0, sampling_ratio=-1, aligned=False,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # the torch stub used when forwarding the reference model (tests/_reference.py)
+    # must agree with the same oracle, so E2E parity isn't self-referential
+    from _reference import install_torchvision_stub
+
+    install_torchvision_stub()
+    import torchvision
+
+    rois = torch.cat(
+        [torch.tensor(bidx, dtype=torch.float32)[:, None], torch.from_numpy(boxes)], 1
+    )
+    stub = torchvision.ops.roi_align(torch.from_numpy(feats), rois, (7, 7)).numpy()
+    np.testing.assert_allclose(stub, want, atol=1e-4, rtol=1e-4)

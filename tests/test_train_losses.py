@@ -47,7 +47,10 @@ def test_detection_loss_gradients():
 
     loss, parts = jax.jit(lambda o: sam3_detection_loss(o, targets))(outputs)
     assert np.isfinite(float(loss))
-    assert set(parts) >= {"class", "bbox", "giou", "mask", "dice", "presence"}
+    assert set(parts) >= {
+        "loss_ce", "loss_bbox", "loss_giou", "loss_mask", "loss_dice",
+        "presence_loss",
+    }
     grads = jax.jit(jax.grad(total))(outputs)
     for k in ("pred_logits", "pred_boxes", "pred_masks"):
         assert np.isfinite(np.asarray(grads[k])).all()
