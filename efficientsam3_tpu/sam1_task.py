@@ -83,8 +83,18 @@ class InteractiveImagePredictor:
         r = self.input_size
         sx, sy = r / w, r / h
 
-        pts = np.zeros((1, self.max_points, 2), np.float32)
-        labs = -np.ones((1, self.max_points), np.int32)
+        # Token count must match the reference exactly: n prompts + ONE
+        # padding point (the SAM prompt encoder always appends a single pad
+        # when boxes are absent, sam/prompt_encoder.py / tracker_base.py:283),
+        # and the TwoWayTransformer attends to padding tokens, so extra pad
+        # slots would change the numerics. Width varies only with the number
+        # of prompt points (few distinct shapes; jit caches each).
+        n_total = (2 if box is not None else 0) + (
+            len(point_coords) if point_coords is not None else 0
+        )
+        width = max(n_total, 0) + 1
+        pts = np.zeros((1, width, 2), np.float32)
+        labs = -np.ones((1, width), np.int32)
         n = 0
         if box is not None:
             b = np.asarray(box, np.float32)

@@ -66,6 +66,10 @@ class TrackerPredictor:
         max_cond_frames_in_attn: int = 4,
         memory_temporal_stride: int = 1,
         max_point_prompts: int = 8,
+        trim_past_non_cond_mem: bool = True,
+        use_memory_selection: bool = False,
+        mf_threshold: float = 0.01,
+        fill_hole_area: int = 0,
     ):
         self.core = core
         self.variables = variables
@@ -74,12 +78,20 @@ class TrackerPredictor:
         self.max_cond = max_cond_frames_in_attn
         self.stride = memory_temporal_stride
         self.max_points = max_point_prompts
+        # memory controls (reference sam3_tracker_base.py:72-74,1069-1106):
+        # trim keeps host memory bounded on long videos; memory selection is
+        # the SAM2Long-style frame_filter (tracker_base.py:520)
+        self.trim_past_non_cond_mem = trim_past_non_cond_mem
+        self.use_memory_selection = use_memory_selection
+        self.mf_threshold = mf_threshold
+        self.fill_hole_area = fill_hole_area
         fs = core.feat_size
 
         def _track(v, tokens, pos, mem, tpos, mem_valid, ptrs, tdiff, pvalid,
-                   coords, labels, s0, s1, multimask):
+                   coords, labels, s0, s1, multimask, max_tdiff=16.0):
             cond = core.apply(
                 v, tokens, pos, mem, tpos, mem_valid, ptrs, tdiff, pvalid,
+                max_tdiff,
                 method=core.condition_features,
             )
             b = tokens.shape[0]
@@ -189,7 +201,16 @@ class TrackerPredictor:
 
         out = self._run_cond_frame(state, frame_idx)
         state["cond_frames"][frame_idx] = out
-        state["non_cond_frames"].pop(frame_idx, None)
+        # other objects' tracked outputs at this frame stay usable (the
+        # reference keeps per-object dicts); only prompted slots move to cond
+        nc = state["non_cond_frames"].get(frame_idx)
+        if nc is not None:
+            if "slot_valid" in nc:
+                nc["slot_valid"] = nc["slot_valid"] & ~out["slot_valid"]
+                if not nc["slot_valid"].any():
+                    state["non_cond_frames"].pop(frame_idx, None)
+            else:
+                state["non_cond_frames"].pop(frame_idx, None)
         return frame_idx, list(state["obj_ids"]), out["low_res_masks"][: len(state["obj_ids"])]
 
     def add_new_mask(self, state, frame_idx: int, obj_id, mask):
@@ -216,19 +237,25 @@ class TrackerPredictor:
             self.variables, self._tile(tokens), heads["high_res_masks"],
             heads["object_score_logits"], True,
         )
+        sv = np.zeros((self.obj_slots,), bool)
+        sv[slot] = True
         new_out = {
             "low_res_masks": np.array(heads["low_res_masks"]),
             "obj_ptr": np.array(heads["obj_ptr"]),
             "object_score_logits": np.array(heads["object_score_logits"]),
             "maskmem": np.array(mem),
+            "slot_valid": sv,
         }
         # merge the new slot's row into any existing outputs for this frame
         existing = state["cond_frames"].get(frame_idx) or state[
             "non_cond_frames"
         ].get(frame_idx)
-        if existing is not None:
+        if existing is not None and "maskmem" in existing:
             for k, v in new_out.items():
-                existing[k][slot] = v[slot]
+                if k == "slot_valid":
+                    existing[k][slot] = True
+                else:
+                    existing[k][slot] = v[slot]
             out = existing
         else:
             out = new_out
@@ -241,28 +268,97 @@ class TrackerPredictor:
         return self.add_new_mask(state, frame_idx, obj_id, mask)
 
     def _run_cond_frame(self, state, frame_idx):
+        """Run the prompted-frame path with the EXACT reference prompt-token
+        width per object: n clicks + ONE pad point (the SAM prompt encoder
+        always appends a single pad, and the TwoWayTransformer attends to pad
+        tokens, so width changes numerics). Slots are grouped by width; each
+        distinct width compiles once."""
         tokens, s0, s1 = self._features(state, frame_idx)
-        coords, labs = state["prompts"][frame_idx]
-        heads = self._cond_track(
-            self.variables,
-            self._tile(tokens), jnp.asarray(coords), jnp.asarray(labs),
-            self._tile(s0), self._tile(s1), True,
-        )
-        mem = self._encode_mem(
-            self.variables, self._tile(tokens), heads["high_res_masks"],
-            heads["object_score_logits"], True,
-        )
-        return {
-            "low_res_masks": np.array(heads["low_res_masks"]),
-            "obj_ptr": np.array(heads["obj_ptr"]),
-            "object_score_logits": np.array(heads["object_score_logits"]),
-            "maskmem": np.array(mem),
+        coords_all, labs_all = state["prompts"][frame_idx]
+        n_per_slot = (labs_all >= 0).sum(axis=1)
+        prompted = np.where(n_per_slot > 0)[0]
+        core = self.core
+        s_n = self.obj_slots
+        lr = core.low_res_mask_size
+        fs = core.feat_size
+        out = {
+            "low_res_masks": np.zeros((s_n, 1, lr, lr), np.float32),
+            "obj_ptr": np.zeros((s_n, core.d_model), np.float32),
+            "object_score_logits": np.zeros((s_n, 1), np.float32),
+            "maskmem": np.zeros((s_n, fs, fs, core.mem_dim), np.float32),
+            "slot_valid": np.zeros((s_n,), bool),
         }
+        for w in sorted({int(n_per_slot[s]) + 1 for s in prompted}):
+            group = [s for s in prompted if int(n_per_slot[s]) + 1 == w]
+            coords_w = np.zeros((s_n, w, 2), np.float32)
+            labs_w = -np.ones((s_n, w), np.int32)
+            coords_w[:, : w - 1] = coords_all[:, : w - 1]
+            labs_w[:, : w - 1] = labs_all[:, : w - 1]
+            # multimask iff <= 1 click (tracker_base.py:1110 _use_multimask
+            # with multimask_max_pt_num=1); a box counts as 2 corner points
+            multimask = (w - 1) <= 1
+            heads = self._cond_track(
+                self.variables,
+                self._tile(tokens), jnp.asarray(coords_w), jnp.asarray(labs_w),
+                self._tile(s0), self._tile(s1), multimask,
+            )
+            mem = self._encode_mem(
+                self.variables, self._tile(tokens), heads["high_res_masks"],
+                heads["object_score_logits"], True,
+            )
+            low = np.array(heads["low_res_masks"])
+            ptr = np.array(heads["obj_ptr"])
+            sc = np.array(heads["object_score_logits"])
+            mm = np.array(mem)
+            for s in group:
+                out["low_res_masks"][s] = low[s]
+                out["obj_ptr"][s] = ptr[s]
+                out["object_score_logits"][s] = sc[s]
+                out["maskmem"][s] = mm[s]
+                out["slot_valid"][s] = True
+        return out
 
     # ------------------------------------------------------------------
 
+    def _slot_ok(self, out, s):
+        sv = out.get("slot_valid")
+        return sv is None or bool(sv[s])
+
+    def _frame_filter(self, state, s, reverse, frame_idx, r):
+        """SAM2Long-style memory selection (tracker_base.py:520 frame_filter):
+        walk back at stride r, keep frames whose effective IoU score clears
+        mf_threshold; always include the immediately previous frame."""
+        num_frames = state["num_frames"]
+        if (frame_idx == 0 and not reverse) or (
+            frame_idx == num_frames - 1 and reverse
+        ):
+            return []
+        max_num = min(num_frames, self.core.max_obj_ptrs)
+        if not reverse:
+            scan = range(frame_idx - 1, -1, -r)
+            must_include = frame_idx - 1
+        else:
+            scan = range(frame_idx + 1, num_frames, r)
+            must_include = frame_idx + 1
+        valid_indices = []
+        for i in scan:
+            out = state["non_cond_frames"].get(i)
+            if out is None or "eff_iou_score" not in out:
+                continue
+            if out["eff_iou_score"] > self.mf_threshold:
+                valid_indices.insert(0, i)
+            if len(valid_indices) >= max_num - 1:
+                break
+        if must_include not in valid_indices:
+            valid_indices.append(must_include)
+        return valid_indices
+
     def _gather_memory(self, state, frame_idx, reverse=False):
-        """Assemble the fixed-size memory bank (host index logic)."""
+        """Assemble the fixed-size memory bank (host index logic).
+
+        Per-slot: each object only attends to frames where IT has outputs
+        (slot_valid), mirroring the reference's per-object output dicts
+        (sam3_tracking_predictor.py per-object obj_output_dict)."""
         core = self.core
         n_mem = core.num_maskmem
         fs = core.feat_size
@@ -273,62 +369,87 @@ class TrackerPredictor:
         tdiff = np.zeros((self.obj_slots, core.max_obj_ptrs), np.float32)
         pvalid = np.zeros((self.obj_slots, core.max_obj_ptrs), bool)
 
-        cond_idx, unsel = select_closest_cond_frames(
-            frame_idx, sorted(state["cond_frames"]), self.max_cond
-        )
-        slot_i = 0
-        for t in cond_idx[: n_mem]:
-            out = state["cond_frames"][t]
-            mem[:, slot_i] = out["maskmem"]
-            tpos[:, slot_i] = 0
-            valid[:, slot_i] = True
-            slot_i += 1
-
-        # recent non-cond frames at stride r (tracker_base.py:610-645)
         r = self.stride
         sign = -1 if reverse else 1
-        picks = []
-        for t_pos in range(1, n_mem):
-            t_rel = n_mem - t_pos
-            if t_rel == 1:
-                prev = frame_idx - sign
-            else:
-                if not reverse:
-                    prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
-                else:
-                    prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
-            out = state["non_cond_frames"].get(prev)
-            if out is None and prev in unsel:
-                out = state["cond_frames"].get(prev)
-            if out is not None:
-                picks.append((t_pos, out))
-        for t_pos, out in picks:
-            if slot_i >= n_mem:
-                break
-            mem[:, slot_i] = out["maskmem"]
-            tpos[:, slot_i] = t_pos
-            valid[:, slot_i] = True
-            slot_i += 1
+        cond = state["cond_frames"]
+        non_cond = state["non_cond_frames"]
 
-        # object pointers: cond frames (past only) then recent non-cond
-        pi = 0
-        for t in cond_idx:
-            if (t <= frame_idx if not reverse else t >= frame_idx) and pi < core.max_obj_ptrs:
-                out = state["cond_frames"][t]
-                ptrs[:, pi] = out["obj_ptr"]
-                tdiff[:, pi] = abs(frame_idx - t)
-                pvalid[:, pi] = True
-                pi += 1
-        for t_d in range(1, core.max_obj_ptrs):
-            if pi >= core.max_obj_ptrs:
-                break
-            t = frame_idx + t_d if reverse else frame_idx - t_d
-            out = state["non_cond_frames"].get(t)
-            if out is not None:
-                ptrs[:, pi] = out["obj_ptr"]
-                tdiff[:, pi] = t_d
-                pvalid[:, pi] = True
-                pi += 1
+        for s in range(len(state["obj_ids"])):
+            cond_ts = sorted(t for t, o in cond.items() if self._slot_ok(o, s))
+            if not cond_ts:
+                continue
+            cond_idx, unsel = select_closest_cond_frames(
+                frame_idx, cond_ts, self.max_cond
+            )
+            slot_i = 0
+            for t in cond_idx[:n_mem]:
+                mem[s, slot_i] = cond[t]["maskmem"][s]
+                tpos[s, slot_i] = 0
+                valid[s, slot_i] = True
+                slot_i += 1
+
+            def _mem_lookup(t):
+                out = non_cond.get(t)
+                if out is None and t in unsel:
+                    out = cond.get(t)
+                if out is None or "maskmem" not in out or not self._slot_ok(out, s):
+                    return None
+                return out
+
+            # recent non-cond frames at stride r (tracker_base.py:610-645),
+            # or SAM2Long-selected frames when memory selection is on
+            if self.use_memory_selection:
+                vi = self._frame_filter(state, s, reverse, frame_idx, r)
+            for t_pos in range(1, n_mem):
+                t_rel = n_mem - t_pos
+                if self.use_memory_selection:
+                    if t_rel > len(vi):
+                        continue
+                    prev = vi[-t_rel]
+                elif t_rel == 1:
+                    prev = frame_idx - sign
+                else:
+                    if not reverse:
+                        prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+                    else:
+                        prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
+                out = _mem_lookup(prev)
+                if out is None or slot_i >= n_mem:
+                    continue
+                mem[s, slot_i] = out["maskmem"][s]
+                tpos[s, slot_i] = t_pos
+                valid[s, slot_i] = True
+                slot_i += 1
+
+            # object pointers: cond frames (past only) then recent non-cond
+            # (tracker_base.py:698-767)
+            pi = 0
+            for t in cond_idx:
+                in_past = t <= frame_idx if not reverse else t >= frame_idx
+                if in_past and pi < core.max_obj_ptrs:
+                    ptrs[s, pi] = cond[t]["obj_ptr"][s]
+                    tdiff[s, pi] = abs(frame_idx - t)
+                    pvalid[s, pi] = True
+                    pi += 1
+            for t_d in range(1, core.max_obj_ptrs):
+                if pi >= core.max_obj_ptrs:
+                    break
+                if self.use_memory_selection:
+                    if t_d >= len(vi):
+                        break
+                    t = vi[-t_d]
+                else:
+                    t = frame_idx + t_d if reverse else frame_idx - t_d
+                    if t < 0 or t >= state["num_frames"]:
+                        break
+                out = non_cond.get(t)
+                if out is None and t in unsel:
+                    out = cond.get(t)
+                if out is not None and self._slot_ok(out, s):
+                    ptrs[s, pi] = out["obj_ptr"][s]
+                    tdiff[s, pi] = t_d
+                    pvalid[s, pi] = True
+                    pi += 1
         return mem, tpos, valid, ptrs, tdiff, pvalid
 
     def _run_track_frame(self, state, frame_idx, reverse=False):
@@ -344,23 +465,60 @@ class TrackerPredictor:
         )
         empty_pts = jnp.zeros((self.obj_slots, 1, 2), jnp.float32)
         empty_lab = -jnp.ones((self.obj_slots, 1), jnp.int32)
+        # ptr tpos normalized by min(num_frames, max_obj_ptrs) - 1
+        # (tracker_base.py:703 max_obj_ptrs_in_encoder = min(num_frames, 16))
+        max_td = float(min(state["num_frames"], self.core.max_obj_ptrs))
         heads = self._track(
             self.variables,
             self._tile(tokens), pos,
             jnp.asarray(mem), jnp.asarray(tpos), jnp.asarray(valid),
             jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
             empty_pts, empty_lab, self._tile(s0), self._tile(s1), True,
+            jnp.float32(max_td),
         )
         mem_new = self._encode_mem(
             self.variables, self._tile(tokens), heads["high_res_masks"],
             heads["object_score_logits"], False,
         )
+        n_act = len(state["obj_ids"])
+        score = np.array(heads["object_score_logits"])
+        ious = np.array(heads["ious"])
+        # per-frame memory quality (tracker_base.py:511 cal_mem_score):
+        # mean over active objects of rescaled obj score x best IoU
+        obj_norm = np.where(score[:n_act, 0] > 0,
+                            1.0 / (1.0 + np.exp(-score[:n_act, 0])) * 2 - 1, 0.0)
+        eff = float((obj_norm * ious[:n_act].max(-1)).mean()) if n_act else 0.0
         return {
             "low_res_masks": np.array(heads["low_res_masks"]),
             "obj_ptr": np.array(heads["obj_ptr"]),
-            "object_score_logits": np.array(heads["object_score_logits"]),
+            "object_score_logits": score,
             "maskmem": np.array(mem_new),
+            "slot_valid": np.arange(self.obj_slots) < n_act,
+            "eff_iou_score": eff,
         }
+
+    def _trim_non_cond(self, state, frame_idx, reverse=False):
+        """Bound host memory on long videos: drop the spatial memory of the
+        non-cond frame that just fell out of the attention window
+        (tracker_base.py:1069-1106 trim_past_non_cond_mem_for_eval). Small
+        per-frame outputs (masks/pointers/scores) are kept."""
+        if not self.trim_past_non_cond_mem:
+            return
+        sign = -1 if reverse else 1
+        past = frame_idx - sign * self.stride * self.core.num_maskmem
+        out = state["non_cond_frames"].get(past)
+        if out is not None and "maskmem" in out:
+            if not self.use_memory_selection or (
+                out.get("eff_iou_score", 0.0) < self.mf_threshold
+            ):
+                del out["maskmem"]
+        if self.use_memory_selection:
+            # high-score frames survive the window above; still trim far-past
+            # ones (tracker_base.py:1098-1106)
+            far = frame_idx - sign * 20 * self.core.max_obj_ptrs
+            out = state["non_cond_frames"].get(far)
+            if out is not None and "maskmem" in out:
+                del out["maskmem"]
 
     def propagate_in_video(self, state, start_frame_idx=None, reverse=False):
         """Yield (frame_idx, obj_ids, low_res_mask_logits) per frame."""
@@ -380,16 +538,49 @@ class TrackerPredictor:
             else:
                 out = self._run_track_frame(state, t, reverse)
                 state["non_cond_frames"][t] = out
-            yield t, list(state["obj_ids"]), out["low_res_masks"][:n_obj]
+                self._trim_non_cond(state, t, reverse)
+            masks = out["low_res_masks"][:n_obj]
+            if self.fill_hole_area > 0 and n_obj:
+                from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores
+
+                flat = jnp.asarray(masks).reshape(-1, *masks.shape[-2:])
+                filled = jax.vmap(
+                    lambda m: fill_holes_in_mask_scores(m, self.fill_hole_area)
+                )(flat)
+                masks = np.array(filled).reshape(masks.shape)
+            yield t, list(state["obj_ids"]), masks
 
     def remove_object(self, state, obj_id):
-        """Drop an object slot (reference sam3_tracking_predictor.py:1232)."""
+        """Drop an object slot (reference sam3_tracking_predictor.py:1232).
+
+        All slot-aligned state shifts down: per-frame outputs (incl.
+        slot_valid) AND the per-frame prompt arrays, so a later re-run of a
+        prompted frame applies the remaining objects' clicks to the right
+        slots."""
         if obj_id not in state["obj_ids"]:
             return
         slot = state["obj_ids"].index(obj_id)
         state["obj_ids"].remove(obj_id)
+
+        def shift(arr, fill=0):
+            arr[slot:-1] = arr[slot + 1 :]
+            arr[-1] = fill
+
         for frames in (state["cond_frames"], state["non_cond_frames"]):
             for out in frames.values():
-                for k in ("low_res_masks", "obj_ptr", "object_score_logits", "maskmem"):
-                    out[k][slot:-1] = out[k][slot + 1 :]
-                    out[k][-1] = 0
+                for k in (
+                    "low_res_masks", "obj_ptr", "object_score_logits",
+                    "maskmem", "slot_valid",
+                ):
+                    if k in out:
+                        shift(out[k], False if k == "slot_valid" else 0)
+        for coords, labs in state["prompts"].values():
+            shift(coords)
+            shift(labs, -1)
+        # prompted frames with no remaining valid slot are no longer cond
+        for t in [
+            t for t, o in state["cond_frames"].items()
+            if "slot_valid" in o and not o["slot_valid"].any()
+        ]:
+            del state["cond_frames"][t]
+            state["prompts"].pop(t, None)

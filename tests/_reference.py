@@ -237,6 +237,53 @@ def install_torchvision_stub():
                  "ToTensor", "InterpolationMode", "PILToTensor"):
         setattr(v2, name, _Noop)
         setattr(transforms, name, _Noop)
+
+    # SAM2Transforms (model/utils/sam1_utils.py:16) scripts
+    # nn.Sequential(Resize, Normalize), so these must be real scriptable
+    # nn.Modules (they are never actually forwarded in tests - prompts are
+    # transformed by pure-torch transform_coords).
+    import torch as _torch
+
+    class _Resize(tnn.Module):
+        def __init__(self, size, **kw):
+            super().__init__()
+            self.size = [int(size), int(size)] if isinstance(size, int) else [
+                int(s) for s in size
+            ]
+
+        def forward(self, x):
+            return _torch.nn.functional.interpolate(
+                x.unsqueeze(0), size=self.size, mode="bilinear",
+                align_corners=False, antialias=True,
+            ).squeeze(0)
+
+    class _Normalize(tnn.Module):
+        def __init__(self, mean, std, **kw):
+            super().__init__()
+            self.mean = _torch.tensor(mean).view(-1, 1, 1)
+            self.std = _torch.tensor(std).view(-1, 1, 1)
+
+        def forward(self, x):
+            return (x - self.mean) / self.std
+
+    class _ToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            import numpy as _np
+
+            arr = _np.asarray(x)
+            t = _torch.from_numpy(arr.copy())
+            if t.ndim == 3:
+                t = t.permute(2, 0, 1)
+            if t.dtype == _torch.uint8:
+                t = t.float() / 255.0
+            return t
+
+    transforms.Resize = _Resize
+    transforms.Normalize = _Normalize
+    transforms.ToTensor = _ToTensor
     tfunc = types.ModuleType("torchvision.transforms.functional")
     tfunc.resize = _Noop()
     tfunc.to_tensor = _Noop()

@@ -156,3 +156,110 @@ def test_forward_grounding_e2e_parity():
     np.testing.assert_allclose(
         got_masks[0, top], want_masks[0, top], atol=1e-2, rtol=1e-2
     )
+
+
+@pytest.mark.slow
+def test_predict_inst_e2e_parity():
+    """SAM1-task path: Sam3Image.predict_inst (sam3_image.py:599) ->
+    SAM3InteractiveImagePredictor (sam1_task_predictor.py:329) vs our
+    InteractiveImagePredictor over the converted tracker heads."""
+    install_torchvision_stub()
+    install_timm_stub()
+    install_ftfy_stub()
+    install_iopath_stub()
+    install_omegaconf_stub()
+    install_pycocotools_stub()
+    mb = ref_module("model_builder")
+    torch.manual_seed(0)
+    ref = mb.build_efficientsam3_image_model(
+        bpe_path=BPE,
+        device="cpu",
+        eval_mode=True,
+        load_from_HF=False,
+        backbone_type="efficientvit",
+        model_name="b0",
+        text_encoder_type="MobileCLIP-S0",
+        text_encoder_context_length=77,
+        enable_inst_interactivity=True,
+    )
+    ref.eval()
+    sd = {k: v for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(9)
+    size = 504
+    img_u8 = rng.integers(0, 256, (size, size, 3), np.uint8)
+    img = (img_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    pts = np.array([[200.0, 150.0], [380.0, 300.0]], np.float32)
+    labels = np.array([1, 0], np.int32)
+    box = np.array([100.0, 120.0, 420.0, 400.0], np.float32)
+
+    # ---- reference ----
+    img_t = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    state = {"original_height": size, "original_width": size}
+    with torch.no_grad():
+        state["backbone_out"] = ref.backbone.forward_image(img_t)
+        sb = state["backbone_out"]["sam2_backbone_out"]
+        dec = ref.inst_interactive_predictor.model.sam_mask_decoder
+        sb["backbone_fpn"][0] = dec.conv_s0(sb["backbone_fpn"][0])
+        sb["backbone_fpn"][1] = dec.conv_s1(sb["backbone_fpn"][1])
+        want_masks, want_ious, want_low = ref.predict_inst(
+            state, point_coords=pts, point_labels=labels,
+            multimask_output=True, return_logits=True,
+        )
+        want_masks_box, want_ious_box, _ = ref.predict_inst(
+            state, box=box, multimask_output=False, return_logits=True,
+        )
+
+    # ---- mine ----
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
+    from efficientsam3_tpu.sam1_task import InteractiveImagePredictor
+    from efficientsam3_tpu.utils.checkpoint import clean_reference_state_dict
+    from efficientsam3_tpu.utils.convert_model import (
+        convert_image_model,
+        convert_tracker_core,
+    )
+
+    model, tracker = build_efficientsam3_video_model(
+        backbone_type="efficientvit", model_name="b0",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=77,
+    )
+    cleaned = clean_reference_state_dict(sd)
+    params, stats = convert_image_model(
+        cleaned, backbone_type="efficientvit", model_name="b0",
+        text_encoder_type="MobileCLIP-S0", add_sam2_neck=True,
+    )
+    tparams, _ = convert_tracker_core(cleaned)
+    img_vars = {"params": params, "batch_stats": stats}
+    tr_vars = {"params": tparams}
+
+    encode = jax.jit(
+        lambda im: model.apply(img_vars, im, method=model.encode_image)
+    )
+    pred = InteractiveImagePredictor(
+        tracker, tr_vars, lambda im: encode(im)
+    )
+    # bypass set_image's resize: the test image is already model input; build
+    # the state exactly as set_image does
+    out = encode(jnp.asarray(img)[None])
+    fpn = out["sam2_fpn"]
+    s0, s1 = tracker.apply(
+        tr_vars, fpn[0], fpn[1],
+        method=lambda m, a, b: m.sam_mask_decoder.high_res_convs(a, b),
+    )
+    fs = tracker.feat_size
+    tokens = fpn[2].reshape(1, fs * fs, tracker.d_model)
+    pred._state = {"tokens": tokens, "s0": s0, "s1": s1, "orig_hw": (size, size)}
+
+    got_masks, got_ious, got_low = pred.predict(
+        point_coords=pts, point_labels=labels, multimask_output=True,
+    )
+    # reference returns logits (return_logits=True); ours returns thresholded.
+    # Random-weight logits sit near 0, so fp noise (~1e-6) can flip isolated
+    # pixels at the threshold - require >= 99.9% agreement + tight logits.
+    assert (got_masks == (want_masks > 0)).mean() > 0.999
+    np.testing.assert_allclose(got_ious, want_ious, atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(got_low, want_low, atol=1e-3, rtol=1e-3)
+
+    got_masks_box, got_ious_box, _ = pred.predict(box=box, multimask_output=False)
+    assert (got_masks_box == (want_masks_box > 0)).mean() > 0.999
+    np.testing.assert_allclose(got_ious_box, want_ious_box, atol=2e-3, rtol=1e-2)
