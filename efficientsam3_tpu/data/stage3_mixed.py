@@ -2,12 +2,14 @@
 
 Mirrors the reference Stage3MixedTextMaskDataset (stage3/data/
 mixed_text_mask_dataset.py:424): multiple COCO-format sources (COCO, LVIS,
-ODinW, RF100-VL, ...) are sampled by weight; each example is an
-(image, text prompt from the category name, instances of that category)
-find-query, with padded fixed-width targets ready for train/losses.py.
+ODinW, RF100-VL, ...) plus RefCOCO-style parquet phrase-grounding sources
+(:156-350 _RefCocoParquetSource) are sampled by weight; each example is an
+(image, text prompt, instances) find-query with padded fixed-width targets
+ready for train/losses.py.
 
-Host-side numpy; masks come from utils in eval/coco_format (polygon/RLE
-without pycocotools).
+Augmentations (data/transforms.py: hflip, large-scale jitter, color jitter,
+query filtering - reference train/transforms/basic_for_api.py) run on host
+at native resolution; `pad_to_fixed` keeps the device-step shapes static.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from efficientsam3_tpu.data import transforms as T
 from efficientsam3_tpu.eval.coco_format import CocoDataset, ann_to_mask
 
 
@@ -27,6 +30,71 @@ class Source:
     dataset: CocoDataset
     image_root: str
     weight: float = 1.0
+
+
+class RefCocoParquetSource:
+    """RefCOCO-style phrase-grounding rows from parquet files (reference
+    stage3/data/mixed_text_mask_dataset.py:156 _RefCocoParquetSource).
+
+    Expected columns (flexible names): a phrase ('phrase'/'sentence'/
+    'caption'/'query'), a box ('bbox' xywh) and/or RLE mask
+    ('segmentation'), and an image path ('file_name'/'image_path') relative
+    to image_root.
+    """
+
+    PHRASE_COLS = ("phrase", "sentence", "caption", "query", "text")
+    IMAGE_COLS = ("file_name", "image_path", "image", "img_path")
+
+    def __init__(self, parquet_paths, image_root: str = "", name: str = "refcoco",
+                 weight: float = 1.0, max_rows: Optional[int] = None):
+        import pandas as pd
+
+        if isinstance(parquet_paths, (str, os.PathLike)):
+            parquet_paths = [parquet_paths]
+        frames = [pd.read_parquet(p) for p in parquet_paths]
+        self.df = pd.concat(frames, ignore_index=True) if frames else None
+        if max_rows is not None and self.df is not None:
+            self.df = self.df.iloc[:max_rows]
+        self.image_root = image_root
+        self.name = name
+        self.weight = weight
+        cols = set(self.df.columns) if self.df is not None else set()
+        self.phrase_col = next((c for c in self.PHRASE_COLS if c in cols), None)
+        self.image_col = next((c for c in self.IMAGE_COLS if c in cols), None)
+        if self.df is not None and (self.phrase_col is None or self.image_col is None):
+            raise ValueError(f"unrecognized parquet schema: {sorted(cols)}")
+
+    def __len__(self):
+        return 0 if self.df is None else len(self.df)
+
+    def load(self, idx: int):
+        """Returns (image uint8, phrase, boxes xyxy abs (N,4), masks or None)."""
+        from PIL import Image
+
+        row = self.df.iloc[idx]
+        img = Image.open(
+            os.path.join(self.image_root, str(row[self.image_col]))
+        ).convert("RGB")
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        boxes, masks = [], []
+        if "segmentation" in row and row["segmentation"] is not None:
+            seg = row["segmentation"]
+            if isinstance(seg, (bytes, str)):
+                import json
+
+                seg = json.loads(seg)
+            m = ann_to_mask({"segmentation": seg}, h, w)
+            masks.append(m)
+            ys, xs = np.nonzero(m)
+            if len(ys):
+                boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        if not boxes and "bbox" in row and row["bbox"] is not None:
+            x, y, bw, bh = [float(v) for v in row["bbox"]]
+            boxes.append([x, y, x + bw, y + bh])
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        masks = np.stack(masks) if masks else None
+        return img, str(row[self.phrase_col]), boxes, masks
 
 
 class Stage3MixedDataset:
@@ -40,43 +108,56 @@ class Stage3MixedDataset:
         mask_size: Optional[int] = 288,
         negative_prompt_prob: float = 0.2,
         seed: int = 0,
+        augment: bool = False,
+        phrase_sources: Sequence[RefCocoParquetSource] = (),
     ):
         self.sources = list(sources)
+        self.phrase_sources = list(phrase_sources)
         self.image_size = image_size
         self.max_targets = max_targets
         self.mask_size = mask_size
         self.negative_prompt_prob = negative_prompt_prob
+        self.augment = augment
         self.rng = np.random.default_rng(seed)
-        # (source_idx, image_id, category_id) triples with >=1 instance
+        # (source_idx, image_id, category_id) triples with >=1 instance, plus
+        # (-1 - phrase_source_idx, row, None) entries for phrase sources
         self.queries = []
+        weights = []
         for si, src in enumerate(self.sources):
             for img_id in src.dataset.images:
                 cats = {a["category_id"] for a in src.dataset.annotations(img_id)}
                 for c in cats:
                     self.queries.append((si, img_id, c))
-        weights = np.asarray(
-            [self.sources[si].weight for si, _, _ in self.queries], np.float64
-        )
+                    weights.append(src.weight)
+        for pi, src in enumerate(self.phrase_sources):
+            for row in range(len(src)):
+                self.queries.append((-1 - pi, row, None))
+                weights.append(src.weight)
+        weights = np.asarray(weights, np.float64)
         self.probs = weights / weights.sum()
 
     def __len__(self):
         return len(self.queries)
 
-    def _load_image(self, src: Source, info: dict) -> np.ndarray:
+    def _load_image_raw(self, src: Source, info: dict) -> np.ndarray:
         from PIL import Image
 
         path = os.path.join(src.image_root, info["file_name"])
-        img = Image.open(path).convert("RGB")
-        img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
-        return (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+        return np.asarray(Image.open(path).convert("RGB"))
 
-    def sample(self) -> dict:
+    def _raw_sample(self):
+        """Returns (image uint8 native res, prompt, boxes xyxy abs, masks,
+        source_name)."""
         qi = self.rng.choice(len(self.queries), p=self.probs)
         si, img_id, cat_id = self.queries[qi]
+        if si < 0:
+            src = self.phrase_sources[-1 - si]
+            img, phrase, boxes, masks = src.load(img_id)
+            return img, phrase, boxes, masks, src.name
         src = self.sources[si]
         info = src.dataset.images[img_id]
         h, w = info["height"], info["width"]
-        image = self._load_image(src, info)
+        image = self._load_image_raw(src, info)
 
         # with some probability turn this into a NEGATIVE query: prompt a
         # category absent from the image (trains the presence head)
@@ -89,35 +170,43 @@ class Stage3MixedDataset:
         prompt_text = src.dataset.categories[cat_id]["name"]
 
         anns = [] if negative else src.dataset.annotations(img_id, cat_id)
-        anns = anns[: self.max_targets]
-        boxes = np.zeros((self.max_targets, 4), np.float32)
-        valid = np.zeros((self.max_targets,), bool)
-        masks = (
-            np.zeros((self.max_targets, self.mask_size, self.mask_size), np.float32)
-            if self.mask_size
-            else None
-        )
-        for i, ann in enumerate(anns):
+        boxes, masks = [], []
+        want_masks = self.mask_size is not None
+        for ann in anns:
             x, y, bw, bh = ann["bbox"]
-            boxes[i] = [(x + bw / 2) / w, (y + bh / 2) / h, bw / w, bh / h]
-            valid[i] = True
-            if masks is not None and "segmentation" in ann:
-                m = ann_to_mask(ann, h, w)
-                from PIL import Image
+            boxes.append([x, y, x + bw, y + bh])
+            if want_masks and "segmentation" in ann:
+                masks.append(ann_to_mask(ann, h, w))
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        masks = (
+            np.stack(masks)
+            if masks and len(masks) == len(boxes)
+            else (np.zeros((0, h, w), bool) if want_masks else None)
+        )
+        if masks is not None and len(masks) != len(boxes):
+            masks = None
+        return image, prompt_text, boxes, masks, src.name
 
-                mm = Image.fromarray(m.astype(np.uint8) * 255).resize(
-                    (self.mask_size, self.mask_size), Image.BILINEAR
-                )
-                masks[i] = (np.asarray(mm) > 127).astype(np.float32)
+    def sample(self) -> dict:
+        image, prompt_text, boxes, masks, src_name = self._raw_sample()
+        s = {"image": image, "boxes": boxes, "masks": masks}
+        if self.augment:
+            s = T.keep_max_targets(s, self.rng, self.max_targets)
+            s = T.stage3_train_augment(s, self.rng, self.image_size)
+        else:
+            s = T.resize(s, self.image_size, square=True)
+        s = T.pad_to_fixed(
+            T.normalize(s), self.max_targets, self.mask_size
+        )
         out = {
-            "image": image,
+            "image": s["image"].astype(np.float32),
             "prompt_text": prompt_text,
-            "boxes": boxes,
-            "valid": valid,
-            "source": src.name,
+            "boxes": s["boxes"],
+            "valid": s["valid"],
+            "source": src_name,
         }
-        if masks is not None:
-            out["masks"] = masks
+        if self.mask_size is not None:
+            out["masks"] = s["masks"]
         return out
 
     def batches(self, tokenizer, batch_size: int, context_length: int = 32):

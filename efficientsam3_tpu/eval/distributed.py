@@ -39,10 +39,13 @@ def all_gather_array(x: np.ndarray, mesh=None) -> np.ndarray:
 
 
 def all_gather_via_filesys(obj, rendezvous_dir: str, tag: str = "preds",
-                           timeout_s: float = 600.0) -> list:
+                           timeout_s: float = 600.0,
+                           process_index: Optional[int] = None,
+                           process_count: Optional[int] = None) -> list:
     """Filesystem gather for huge eval payloads (reference
     train/utils/distributed.py:57 all_gather_via_filesys)."""
-    pi, pc = jax.process_index(), jax.process_count()
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
     os.makedirs(rendezvous_dir, exist_ok=True)
     mine = os.path.join(rendezvous_dir, f"{tag}_{pi}.pkl")
     tmp = mine + ".tmp"

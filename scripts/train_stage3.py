@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="stage-1 spliced .pt")
     ap.add_argument("--checkpoint-dir", default="checkpoints/stage3")
     ap.add_argument("--context-length", type=int, default=32)
+    ap.add_argument("--no-augment", action="store_true",
+                    help="disable hflip/LSJ/color-jitter augmentations")
     args = ap.parse_args()
 
     from efficientsam3_tpu.build import build_efficientsam3_image_model
@@ -74,7 +76,7 @@ def main():
                    s.get("weight", 1.0))
             for s in json.load(f)
         ]
-    dataset = Stage3MixedDataset(srcs, image_size=res)
+    dataset = Stage3MixedDataset(srcs, image_size=res, augment=not args.no_augment)
     tokenizer = ClipTokenizer()
 
     raw_step = jax.jit(functools.partial(stage3_train_step, model, tx))

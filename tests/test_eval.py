@@ -79,3 +79,51 @@ def test_coco_map_segm():
     gt = RNG.random((3, 24, 24)) > 0.6
     ev.add_image(1, [0.9, 0.8, 0.7], gt.copy(), gt)
     assert ev.summarize()["AP"] > 0.99
+
+
+def test_coco_map_iscrowd_ignored():
+    """A detection matching a crowd gt is ignored - neither TP nor FP
+    (pycocotools evaluateImg crowd semantics)."""
+    gts = np.asarray(
+        [[0, 0, 10, 10], [50, 50, 20, 20], [0, 0, 100, 100]], np.float64
+    )
+    crowd = np.asarray([False, False, True])
+    dts = np.asarray(
+        [[20, 20, 30, 30], [0, 0, 10, 10], [50, 50, 20, 20]], np.float64
+    )
+    scores = [0.95, 0.9, 0.8]  # the crowd-covered det outranks the true ones
+    ev = CocoMAPEvaluator("bbox")
+    ev.add_image(1, scores, dts, gts, gt_iscrowd=crowd)
+    out = ev.summarize()
+    # with crowd ignoring, the two true dets are rank-consecutive TPs -> AP 1
+    assert abs(out["AP"] - 1.0) < 1e-9, out
+
+    # without the crowd flag the first det is a hard FP and AP drops
+    ev2 = CocoMAPEvaluator("bbox")
+    ev2.add_image(1, scores, dts, gts[:2])
+    assert ev2.summarize()["AP"] < 1.0
+
+
+def test_coco_map_area_ranges_and_maxdets():
+    gts = np.asarray([[0, 0, 10, 10], [50, 50, 20, 20]], np.float64)  # small
+    dts = gts.copy()
+    ev = CocoMAPEvaluator("bbox")
+    ev.add_image(1, [0.9, 0.8], dts, gts)
+    out = ev.summarize()
+    assert abs(out["AP_small"] - 1.0) < 1e-9
+    assert np.isnan(out["AP_medium"]) and np.isnan(out["AP_large"])
+    assert abs(out["AR@1"] - 0.5) < 1e-9  # only one det kept at maxDet=1
+    assert abs(out["AR@10"] - 1.0) < 1e-9
+    assert abs(out["AR@100"] - 1.0) < 1e-9
+
+
+def test_coco_map_unmatched_det_outside_range_ignored():
+    """An unmatched LARGE detection must not count as FP for the small
+    range (pycocotools accumulate dtIg logic)."""
+    gts = np.asarray([[0, 0, 10, 10]], np.float64)  # small, area 100
+    dts = np.asarray([[200, 200, 200, 200], [0, 0, 10, 10]], np.float64)
+    ev = CocoMAPEvaluator("bbox")
+    ev.add_image(1, [0.95, 0.9], dts, gts)
+    out = ev.summarize()
+    assert abs(out["AP_small"] - 1.0) < 1e-9, out
+    assert out["AP"] < 1.0  # in 'all', the big det is a real FP

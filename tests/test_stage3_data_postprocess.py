@@ -92,3 +92,60 @@ def test_postprocess_image_and_video():
     assert len(t1["segmentations"]) == 2 and t1["segmentations"][0] is not None
     t2 = next(t for t in tracks if t["track_id"] == 2)
     assert t2["segmentations"][0] is None  # absent in frame 0
+
+
+def test_stage3_mixed_dataset_augmented(tmp_path):
+    from efficientsam3_tpu.data.stage3_mixed import Source, Stage3MixedDataset
+
+    ds1, root1 = _toy_coco(tmp_path, "aug_src")
+    mixed = Stage3MixedDataset(
+        [Source("a", ds1, root1, 1.0)],
+        image_size=64, max_targets=4, mask_size=16, seed=2, augment=True,
+        negative_prompt_prob=0.0,
+    )
+    for _ in range(6):
+        s = mixed.sample()
+        assert s["image"].shape == (64, 64, 3)
+        assert s["boxes"].shape == (4, 4)
+        n = int(s["valid"].sum())
+        if n:
+            assert (s["boxes"][:n] >= -1e-6).all()
+            assert (s["boxes"][:n] <= 1 + 1e-6).all()
+            # mask and box agree after augmentation
+            assert s["masks"][:n].sum() > 0
+
+
+def test_refcoco_parquet_source(tmp_path):
+    import pandas as pd
+    from PIL import Image
+
+    from efficientsam3_tpu.data.stage3_mixed import (
+        RefCocoParquetSource,
+        Stage3MixedDataset,
+    )
+
+    root = tmp_path / "ref"
+    root.mkdir()
+    Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(root / "r0.png")
+    df = pd.DataFrame(
+        {
+            "phrase": ["the red thing", "a dog"],
+            "file_name": ["r0.png", "r0.png"],
+            "bbox": [[5.0, 5.0, 20.0, 15.0], [2.0, 2.0, 10.0, 10.0]],
+        }
+    )
+    pq = root / "anno.parquet"
+    df.to_parquet(pq)
+    src = RefCocoParquetSource(str(pq), image_root=str(root), weight=3.0)
+    assert len(src) == 2
+    img, phrase, boxes, masks = src.load(0)
+    assert phrase == "the red thing"
+    assert boxes.shape == (1, 4)
+
+    mixed = Stage3MixedDataset(
+        [], image_size=64, max_targets=4, mask_size=None, seed=0,
+        phrase_sources=[src],
+    )
+    s = mixed.sample()
+    assert isinstance(s["prompt_text"], str)
+    assert s["valid"].sum() == 1
