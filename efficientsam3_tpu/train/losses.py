@@ -320,6 +320,63 @@ def semantic_seg_loss(
     return out
 
 
+def det2trk_assoc_loss(
+    assoc_logits,  # (B, Q_det, Q_trk + 2) [.., new_object, false_positive]
+    matched_object_ids,  # (B, Q_det + Q_trk) int, -1 = unmatched
+    num_boxes,
+    *,
+    pred_logits=None,  # (B, Q_det, 1), needed for use_fp_loss
+    is_exhaustive=None,  # (B,) bool
+    use_fp_loss: bool = False,
+    fp_loss_on_exhaustive_only: bool = True,
+    treat_fp_as_new_obj: bool = False,
+):
+    """Detection->tracking association loss (loss_fns.py:1153 Det2TrkAssoc).
+
+    Labels per detection query: the tracking-query index sharing its GT
+    object id; Q_trk ("new object") when matched to GT but no track;
+    Q_trk+1 ("false positive") for confident unmatched detections (opt);
+    -1 (ignored) otherwise. Softmax CE, masked to frames with >=1 valid
+    track, summed / (B * num_boxes). Fixed shapes throughout.
+    """
+    b, q_det, q_tot = assoc_logits.shape
+    q_trk = q_tot - 2
+    ids_det = matched_object_ids[:, :q_det]
+    ids_trk = matched_object_ids[:, q_det:]
+    det_m = ids_det >= 0
+    trk_m = ids_trk >= 0
+
+    same = (
+        det_m[:, :, None]
+        & trk_m[:, None, :]
+        & (ids_det[:, :, None] == ids_trk[:, None, :])
+    )  # (B, Q_det, Q_trk)
+    has_same = same.any(-1)
+    trk_label = jnp.argmax(same, axis=-1)
+    labels = jnp.where(has_same, trk_label, -1)
+    labels = jnp.where(det_m & ~has_same, q_trk, labels)
+    if use_fp_loss:
+        assert pred_logits is not None
+        fp = ~det_m & (pred_logits[..., 0] > 0)
+        if treat_fp_as_new_obj:
+            fp_label = q_trk
+        else:
+            # exhaustive filtering only applies on the dedicated FP label
+            # branch (loss_fns.py:1206-1212)
+            if fp_loss_on_exhaustive_only and is_exhaustive is not None:
+                fp = fp & is_exhaustive[:, None]
+            fp_label = q_trk + 1
+        labels = jnp.where(fp, fp_label, labels)
+
+    logp = jax.nn.log_softmax(assoc_logits, axis=-1)
+    safe = jnp.clip(labels, 0)
+    ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    mask = (labels >= 0).astype(ce.dtype)
+    frame_has_trk = trk_m.any(-1, keepdims=True).astype(ce.dtype)
+    loss = (ce * mask * frame_has_trk).sum() / (b * num_boxes)
+    return loss
+
+
 # ---------------------------------------------------------------------------
 # One-to-many (DAC) matcher, reference matcher.py:672 BinaryOneToManyMatcher
 # ---------------------------------------------------------------------------
