@@ -1,3 +1,4 @@
+from efficientsam3_tpu.parallel.launch import global_mesh, initialize_distributed
 from efficientsam3_tpu.parallel.sharding import (
     frame_parallel,
     make_mesh,
@@ -14,6 +15,8 @@ from efficientsam3_tpu.parallel.tensor_parallel import (
 __all__ = [
     "count_sharded",
     "frame_parallel",
+    "global_mesh",
+    "initialize_distributed",
     "make_mesh",
     "object_parallel",
     "replicate",

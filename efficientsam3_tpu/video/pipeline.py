@@ -93,16 +93,53 @@ class VideoPCSPredictor:
     HIGH_CONF_THRESH = 0.8  # reconditioning gates (sam3_video_base.py:1277)
     HIGH_IOU_THRESH = 0.8
 
-    def __init__(self, detector, tracker_predictor, cfg: Optional[VideoPCSConfig] = None):
+    def __init__(
+        self,
+        detector,
+        tracker_predictor,
+        cfg: Optional[VideoPCSConfig] = None,
+        detector_batch=None,
+        frame_chunk: int = 1,
+    ):
         """detector: callable(frame (H,W,3), text_state) ->
             {'masks' (D, H, W) bool, 'scores' (D,), 'boxes' (D, 4)} after
             thresholding+NMS (host-filtered).
         tracker_predictor: video.predictor.TrackerPredictor.
+        detector_batch + frame_chunk > 1 enable frame-parallel detection
+        (reference P2, sam3_image.py:701 forward_video_grounding_multigpu):
+        detections for the next `frame_chunk` frames are computed in ONE
+        batched call - wrap detector_batch with parallel.frame_parallel over
+        a 'frames' mesh axis and XLA overlaps the cross-device gather with
+        compute, replacing the reference's hand-rolled async NCCL prefetch.
+        detector_batch: callable(frames (F,H,W,3), text_state) -> list of F
+        per-frame detection dicts.
         """
         self.detector = detector
+        self.detector_batch = detector_batch
+        self.frame_chunk = frame_chunk
         self.tracker = tracker_predictor
         self.cfg = cfg or VideoPCSConfig()
         self._next_obj_id = 0
+
+    def _detect(self, session, t, reverse=False):
+        """Single-frame detection, or chunk-prefetched batched detection."""
+        if self.detector_batch is None or self.frame_chunk <= 1:
+            return self.detector(session["frames"][t], session["text_state"])
+        cache = session.setdefault("_det_cache", {})
+        if t not in cache:
+            n = session["state"]["num_frames"]
+            step = -1 if reverse else 1
+            idxs = [
+                u for u in range(t, t + step * self.frame_chunk, step)
+                if 0 <= u < n
+            ]
+            # pad to the fixed chunk width (static shapes, no recompiles)
+            padded = idxs + [idxs[-1]] * (self.frame_chunk - len(idxs))
+            batch = np.stack([np.asarray(session["frames"][u]) for u in padded])
+            outs = self.detector_batch(batch, session["text_state"])
+            for k, u in enumerate(idxs):
+                cache[u] = outs[k]
+        return cache.pop(t)
 
     # -- association (reference sam3_video_base.py:1160) -------------------
     def associate_det_trk(self, det_masks, det_scores, trk_masks, trk_obj_ids):
@@ -226,10 +263,23 @@ class VideoPCSPredictor:
         masklets = session["masklets"]
         meta = session["meta"]
 
-        # 1. detection
-        det = self.detector(session["frames"][t], session["text_state"])
+        # 1. detection (optionally chunk-prefetched / frame-parallel)
+        det = self._detect(session, t, reverse)
         det_masks = np.asarray(det["masks"])[: cfg.max_dets]
         det_scores = np.asarray(det["scores"])[: cfg.max_dets]
+        if cfg.nms_iou_thresh > 0 and len(det_masks) > 1:
+            # per-frame detector mask-NMS (reference det_nms_thresh,
+            # sam3_image.py:817-831 applies nms_masks to video detections)
+            from efficientsam3_tpu.ops.masks import nms_masks
+
+            keep = np.asarray(
+                nms_masks(
+                    jnp.asarray(det_masks), jnp.asarray(det_scores),
+                    cfg.nms_iou_thresh,
+                )
+            )
+            det_masks = det_masks[keep]
+            det_scores = det_scores[keep]
 
         # 2. propagate existing masklets (one batched tracker program)
         trk_ids = [m.obj_id for m in masklets.values()]

@@ -70,6 +70,8 @@ class TrackerPredictor:
         use_memory_selection: bool = False,
         mf_threshold: float = 0.01,
         fill_hole_area: int = 0,
+        mesh=None,
+        mesh_axis: str = "objects",
     ):
         self.core = core
         self.variables = variables
@@ -123,10 +125,45 @@ class TrackerPredictor:
                 v, pix, (s0, s1), masks, method=core.use_mask_as_output
             )
 
-        self._track = jax.jit(_track, static_argnums=(13,))
-        self._cond_track = jax.jit(_cond_track, static_argnums=(6,))
-        self._encode_mem = jax.jit(_encode_mem, static_argnums=(4,))
-        self._cond_mask = jax.jit(_cond_mask)
+        if mesh is None:
+            self._track = jax.jit(_track, static_argnums=(13,))
+            self._cond_track = jax.jit(_cond_track, static_argnums=(6,))
+            self._encode_mem = jax.jit(_encode_mem, static_argnums=(4,))
+            self._cond_mask = jax.jit(_cond_mask)
+        else:
+            # P3 object-parallel tracking (reference sam3_video_base.py
+            # shards masklets across GPUs, :1298): the object-slot batch
+            # axis shards over the mesh; variables and per-frame scalars
+            # replicate; GSPMD schedules the gathers on ICI.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if obj_slots % mesh.shape[mesh_axis] != 0:
+                raise ValueError(
+                    f"obj_slots={obj_slots} not divisible by mesh axis "
+                    f"{mesh_axis}={mesh.shape[mesh_axis]}"
+                )
+            repl = NamedSharding(mesh, P())
+            obj = NamedSharding(mesh, P(mesh_axis))
+            self._track = jax.jit(
+                _track, static_argnums=(13,),
+                in_shardings=(repl, obj, repl) + (obj,) * 10 + (repl,),
+                out_shardings=obj,
+            )
+            self._cond_track = jax.jit(
+                _cond_track, static_argnums=(6,),
+                in_shardings=(repl,) + (obj,) * 5,
+                out_shardings=obj,
+            )
+            self._encode_mem = jax.jit(
+                _encode_mem, static_argnums=(4,),
+                in_shardings=(repl, obj, obj, obj),
+                out_shardings=obj,
+            )
+            self._cond_mask = jax.jit(
+                _cond_mask,
+                in_shardings=(repl,) + (obj,) * 4,
+                out_shardings=obj,
+            )
 
     # ------------------------------------------------------------------
 

@@ -34,6 +34,11 @@ from efficientsam3_tpu.train.trainer import Trainer, TrainerConfig
 
 
 def main():
+    # multi-host: one process per host (reference train/train.py launchers)
+    from efficientsam3_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--images-dir", required=True)
     ap.add_argument("--store", required=True)

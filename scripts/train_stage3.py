@@ -34,6 +34,14 @@ def main():
                     help="disable hflip/LSJ/color-jitter augmentations")
     args = ap.parse_args()
 
+    # multi-host: one process per host, ranks wired from SLURM/torchrun-style
+    # env (reference train/train.py:61-310 submitit/mp launch)
+    from efficientsam3_tpu.parallel import initialize_distributed
+
+    multi_host = initialize_distributed()
+    if multi_host:
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
+
     from efficientsam3_tpu.build import build_efficientsam3_image_model
     from efficientsam3_tpu.data.stage3_mixed import Source, Stage3MixedDataset
     from efficientsam3_tpu.eval.coco_format import CocoDataset

@@ -187,3 +187,68 @@ def test_long_video_memory_bounded():
     )
     # small per-frame outputs (pointers/scores) are retained
     assert len(state["non_cond_frames"]) == n - 1
+
+
+def test_frame_chunked_detection():
+    """detector_batch + frame_chunk: detections prefetched in fixed-width
+    batched calls (P2 frame-parallel contract, sam3_image.py:701)."""
+    from efficientsam3_tpu.video.pipeline import VideoPCSConfig, VideoPCSPredictor
+
+    pipe0, tracker = _make_pipe()
+    calls = []
+
+    def detector_batch(frames, text_state):
+        calls.append(frames.shape)
+        outs = []
+        for f in np.asarray(frames):
+            t = int(f[0, 0, 0] * 100)
+            m = np.zeros((1, 64, 64), bool)
+            m[0, 10 + t : 30 + t, 10 + t : 30 + t] = True
+            outs.append(
+                {"masks": m, "scores": np.asarray([0.9]),
+                 "boxes": np.zeros((1, 4))}
+            )
+        return outs
+
+    cfg = VideoPCSConfig(obj_slots=4, hotstart_delay=0, new_det_thresh=0.5,
+                         fill_hole_area=0)
+    pipe = VideoPCSPredictor(
+        lambda *a: None, tracker, cfg,
+        detector_batch=detector_batch, frame_chunk=4,
+    )
+    outs = list(pipe.run_video(_frames(6), text_state=None))
+    assert len(outs) == 6
+    # 6 frames at chunk 4 -> exactly 2 batched calls, both fixed width 4
+    assert calls == [(4, 64, 64, 3), (4, 64, 64, 3)]
+    assert len(outs[0]["obj_ids"]) >= 1
+
+
+def test_detector_nms_in_pipeline():
+    """Per-frame detector mask-NMS (reference det_nms_thresh,
+    sam3_image.py:817-831): overlapping duplicate detections collapse to one
+    masklet; with NMS off both spawn."""
+    from efficientsam3_tpu.video.pipeline import VideoPCSConfig, VideoPCSPredictor
+
+    _, tracker = _make_pipe()
+
+    def dup_detector(frame, text_state):
+        m = np.zeros((2, 64, 64), bool)
+        m[0, 10:30, 10:30] = True
+        m[1, 11:31, 11:31] = True  # ~0.8 IoU duplicate
+        return {"masks": m, "scores": np.asarray([0.9, 0.85]),
+                "boxes": np.zeros((2, 4))}
+
+    base = dict(obj_slots=4, hotstart_delay=0, new_det_thresh=0.5,
+                fill_hole_area=0)
+    pipe = VideoPCSPredictor(
+        dup_detector, tracker, VideoPCSConfig(nms_iou_thresh=0.7, **base)
+    )
+    outs = list(pipe.run_video(_frames(1), text_state=None))
+    assert len(outs[0]["obj_ids"]) == 1
+
+    _, tracker2 = _make_pipe()
+    pipe_off = VideoPCSPredictor(
+        dup_detector, tracker2, VideoPCSConfig(nms_iou_thresh=0.0, **base)
+    )
+    outs_off = list(pipe_off.run_video(_frames(1), text_state=None))
+    assert len(outs_off[0]["obj_ids"]) == 2
