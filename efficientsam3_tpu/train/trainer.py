@@ -40,6 +40,13 @@ class TrainerConfig:
     save_param_prefixes: Optional[tuple] = None  # partial checkpoints
     mesh: Optional[object] = None
     batch_axis: str = "dp"
+    # metrics sink: JSONL + TensorBoard event files (reference
+    # train/utils/logger.py TB/wandb Logger)
+    log_dir: Optional[str] = None
+    # graceful preemption: on SIGTERM/SIGUSR1 (SLURM requeue signals,
+    # reference SubmititRunner checkpoint()/requeue), finish the current
+    # step, checkpoint, and stop cleanly; auto-resume picks it back up.
+    handle_preemption_signals: bool = True
 
 
 class Trainer:
@@ -53,6 +60,37 @@ class Trainer:
         self.cfg = cfg
         self.eval_fn = eval_fn
         self.meters = MeterBank()
+        self.preempted = False
+        if cfg.handle_preemption_signals:
+            self._install_signal_handlers()
+        self.writer = None
+        if cfg.log_dir is not None and jax.process_index() == 0:
+            from efficientsam3_tpu.utils.observability import MetricsWriter
+
+            self.writer = MetricsWriter(cfg.log_dir)
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGUSR1 -> set the preemption flag; run() exits the loop
+        after the in-flight step and writes a checkpoint so the requeued job
+        resumes exactly where it stopped (reference SubmititRunner
+        checkpoint + trainer.py preemption resume). Only installable from
+        the main thread; silently skipped elsewhere (e.g. under pytest-run
+        worker threads)."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def _flag(signum, frame):
+            LOG.info("preemption signal %d: will checkpoint and stop", signum)
+            self.preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, _flag)
+            except (ValueError, OSError):
+                pass
 
     def _place(self, variables, opt_state, batch):
         if self.cfg.mesh is None:
@@ -101,7 +139,7 @@ class Trainer:
         step = start
         t_last = time.perf_counter()
         for batch in batches:
-            if step >= cfg.max_steps:
+            if step >= cfg.max_steps or self.preempted:
                 break
             variables, opt_state, batch_p = self._place(variables, opt_state, batch)
             variables, opt_state, metrics = self.train_step(
@@ -115,6 +153,8 @@ class Trainer:
                 t_last = now
                 self.meters.update(steps_per_s=sps, **metrics)
                 self.meters.log(step, cfg.max_steps)
+                if self.writer is not None:
+                    self.writer.write(step, dict(metrics, steps_per_s=sps))
             if (
                 cfg.checkpoint_dir is not None
                 and step % cfg.checkpoint_every == 0

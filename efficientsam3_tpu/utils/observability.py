@@ -112,3 +112,132 @@ def device_memory_stats() -> dict:
             "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
         }
     return out
+
+
+# ---------------------------------------------------------------------------
+# Metrics writers: JSONL + dependency-free TensorBoard event files
+# (reference logs through train/utils/logger.py TensorBoard/wandb Logger)
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Software CRC32-C (Castagnoli), required by the TFRecord framing."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if (c & 1) else (c >> 1)
+            table.append(c)
+        _CRC_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _pb_field(num: int, wire: int) -> bytes:
+    return _varint((num << 3) | wire)
+
+
+def _pb_bytes(num: int, payload: bytes) -> bytes:
+    return _pb_field(num, 2) + _varint(len(payload)) + payload
+
+
+class TensorBoardWriter:
+    """Minimal TensorBoard scalar writer - hand-encoded Event protos in
+    TFRecord framing, zero dependencies. TensorBoard reads the resulting
+    events.out.tfevents.* files natively."""
+
+    def __init__(self, logdir: str):
+        import os
+        import socket
+
+        os.makedirs(logdir, exist_ok=True)
+        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        self._f = open(os.path.join(logdir, fname), "ab")
+        # file-version event
+        self._write_event(self._event(wall_time=time.time(), file_version=True))
+
+    @staticmethod
+    def _event(wall_time, step=None, scalars=None, file_version=False) -> bytes:
+        import struct
+
+        ev = _pb_field(1, 1) + struct.pack("<d", wall_time)  # wall_time: double
+        if file_version:
+            ev += _pb_bytes(3, b"brain.Event:2")
+            return ev
+        if step is not None:
+            ev += _pb_field(2, 0) + _varint(step & 0xFFFFFFFFFFFFFFFF)
+        if scalars:
+            values = b""
+            for tag, val in scalars.items():
+                v = _pb_bytes(1, tag.encode()) + _pb_field(2, 5) + struct.pack(
+                    "<f", float(val)
+                )
+                values += _pb_bytes(1, v)  # Summary.value
+            ev += _pb_bytes(5, values)  # Event.summary
+        return ev
+
+    def _write_event(self, payload: bytes):
+        import struct
+
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", _masked_crc(payload)))
+        self._f.flush()
+
+    def write_scalars(self, step: int, scalars: dict):
+        self._write_event(
+            self._event(wall_time=time.time(), step=step, scalars=scalars)
+        )
+
+    def close(self):
+        self._f.close()
+
+
+class MetricsWriter:
+    """JSONL metrics log + TensorBoard event files under one logdir."""
+
+    def __init__(self, logdir: str, tensorboard: bool = True):
+        import os
+
+        os.makedirs(logdir, exist_ok=True)
+        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
+        self._tb = TensorBoardWriter(logdir) if tensorboard else None
+
+    def write(self, step: int, metrics: dict):
+        import json
+
+        rec = {"step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.write_scalars(step, {k: v for k, v in metrics.items()})
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

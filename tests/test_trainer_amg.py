@@ -83,3 +83,70 @@ def test_automatic_mask_generator_grid_and_records():
     for r in recs:
         assert {"segmentation", "area", "bbox", "predicted_iou"} <= set(r)
         assert r["area"] > 0
+
+
+def test_trainer_preemption_checkpoint(tmp_path):
+    """SIGTERM-style preemption: the loop stops after the in-flight step and
+    the final checkpoint lands, so a requeued run resumes from there
+    (reference SubmititRunner checkpoint/requeue)."""
+    from efficientsam3_tpu.train.trainer import Trainer, TrainerConfig
+    from efficientsam3_tpu.utils.checkpoint import latest_step
+
+    variables = {"params": {"w": jnp.ones(2)}}
+    tx = optax.sgd(0.1)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state, batch):
+        grads = jax.tree.map(jnp.ones_like, variables["params"])
+        updates, new_opt = tx.update(grads, opt_state)
+        params = optax.apply_updates(variables["params"], updates)
+        return dict(variables, params=params), new_opt, {"loss": jnp.zeros(())}
+
+    cfg = TrainerConfig(
+        max_steps=100, log_every=100, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path),
+    )
+    trainer = Trainer(step, cfg)
+
+    def batches():
+        for i in range(100):
+            if i == 3:
+                trainer.preempted = True  # what the signal handler sets
+            yield {}
+
+    _, _, s = trainer.run(variables, opt_state, batches())
+    assert s == 3
+    assert latest_step(str(tmp_path)) == 3
+
+
+def test_trainer_gradient_accumulation():
+    """optax.MultiSteps composes with the driver: k micro-steps produce one
+    optimizer update equal to the mean-gradient update (reference trainer
+    grad-accum semantics, trainer.py:145)."""
+    from efficientsam3_tpu.train.trainer import Trainer, TrainerConfig
+
+    k = 4
+    lr = 0.5
+    tx = optax.MultiSteps(optax.sgd(lr), every_k_schedule=k)
+    variables = {"params": {"w": jnp.zeros(())}}
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state, batch):
+        def loss_fn(params):
+            return params["w"] * batch["g"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        updates, new_opt = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return dict(variables, params=params), new_opt, {"loss": loss}
+
+    trainer = Trainer(step, TrainerConfig(max_steps=2 * k, log_every=1000))
+    gs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    batches = ({"g": jnp.asarray(g)} for g in gs)
+    v, _, s = trainer.run(variables, opt_state, batches)
+    assert s == 2 * k
+    # two real updates, each -lr * mean(micro grads)
+    expect = -lr * (np.mean(gs[:4]) + np.mean(gs[4:]))
+    np.testing.assert_allclose(float(v["params"]["w"]), expect, rtol=1e-6)

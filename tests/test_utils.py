@@ -100,3 +100,39 @@ def test_tokenizer_known_ids():
     # truncation keeps EOT in the last slot
     long = tok("word " * 50, 8)[0]
     assert long[0] == 49406 and long[-1] == 49407
+
+
+def test_metrics_writer_tensorboard_framing(tmp_path):
+    """The dependency-free TB writer produces valid TFRecord framing
+    (length + masked CRC32-C per record) and the scalar protos round-trip."""
+    import glob
+    import struct
+
+    from efficientsam3_tpu.utils.observability import (
+        MetricsWriter,
+        _masked_crc,
+    )
+
+    d = str(tmp_path / "logs")
+    w = MetricsWriter(d)
+    w.write(3, {"loss": 1.25, "lr": 1e-3})
+    w.write(4, {"loss": 0.75})
+    w.close()
+
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+    ev = glob.glob(d + "/events.out.tfevents.*")[0]
+    data = open(ev, "rb").read()
+    off = 0
+    records = []
+    while off < len(data):
+        (ln,) = struct.unpack("<Q", data[off : off + 8])
+        (hcrc,) = struct.unpack("<I", data[off + 8 : off + 12])
+        assert hcrc == _masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + ln]
+        (pcrc,) = struct.unpack("<I", data[off + 12 + ln : off + 16 + ln])
+        assert pcrc == _masked_crc(payload)
+        records.append(payload)
+        off += 16 + ln
+    assert len(records) == 3  # file-version + 2 scalar events
+    assert b"brain.Event:2" in records[0]
+    assert b"loss" in records[1] and b"lr" in records[1]
