@@ -81,10 +81,18 @@ class AsyncFrameLoader:
     io_utils.py:339): index access blocks only until that frame is decoded."""
 
     def __init__(self, frame_paths: Sequence[str], resolution: Optional[int] = None,
-                 prefetch: int = 8):
+                 prefetch: int = 8, offload_to_fp16: bool = False,
+                 keep_window: Optional[int] = None):
+        """offload_to_fp16 stores decoded frames as normalized fp16 (halved
+        host RAM, reference io_utils.py CPU-offload); keep_window evicts
+        frames more than `keep_window` indices behind the newest access so
+        long videos stream in bounded memory (re-decoded on re-access)."""
         self.paths = list(frame_paths)
         self.resolution = resolution
+        self.offload_to_fp16 = offload_to_fp16
+        self.keep_window = keep_window
         self._frames: dict[int, np.ndarray] = {}
+        self._produced = -1
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._queue = queue.Queue(maxsize=prefetch)
@@ -94,19 +102,32 @@ class AsyncFrameLoader:
     def __len__(self):
         return len(self.paths)
 
+    def _decode(self, path):
+        frame = load_frame(path, self.resolution)
+        if self.offload_to_fp16:
+            frame = frame.astype(np.float16) / 255.0
+        return frame
+
     def _producer(self):
         for i, p in enumerate(self.paths):
-            frame = load_frame(p, self.resolution)
+            frame = self._decode(p)
             self._queue.put(None)  # backpressure slot
             with self._cv:
                 self._frames[i] = frame
+                self._produced = i
                 self._cv.notify_all()
 
     def __getitem__(self, idx: int) -> np.ndarray:
         with self._cv:
             while idx not in self._frames:
+                if idx <= self._produced:
+                    # already evicted: synchronous re-decode
+                    return self._decode(self.paths[idx])
                 self._cv.wait(timeout=30)
             frame = self._frames[idx]
+            if self.keep_window is not None:
+                for k in [k for k in self._frames if k < idx - self.keep_window]:
+                    del self._frames[k]
         try:
             self._queue.get_nowait()
         except queue.Empty:

@@ -66,3 +66,33 @@ def test_predictor_server_sessions():
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_async_loader_offload_and_bounded_window(tmp_path):
+    """fp16 CPU-offload (halved host RAM, reference io_utils.py) and
+    keep_window eviction with synchronous re-decode on re-access."""
+    from PIL import Image
+
+    from efficientsam3_tpu.video.io import AsyncFrameLoader
+
+    rng = np.random.default_rng(1)
+    n = 8
+    for i in range(n):
+        Image.fromarray(
+            (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        ).save(tmp_path / f"{i:05d}.jpg")
+    paths = [str(tmp_path / f"{i:05d}.jpg") for i in range(n)]
+
+    loader = AsyncFrameLoader(
+        paths, offload_to_fp16=True, keep_window=2, prefetch=2
+    )
+    first = loader[0]
+    assert first.dtype == np.float16 and 0.0 <= first.max() <= 1.0
+    for i in range(1, n):
+        assert loader[i].dtype == np.float16
+    # frames more than keep_window behind the newest access were evicted
+    with loader._lock:
+        assert all(k >= n - 1 - 2 for k in loader._frames)
+    # evicted frame re-decodes synchronously and matches the original
+    again = loader[0]
+    np.testing.assert_array_equal(again, first)
