@@ -59,25 +59,32 @@ def test_geometry_encoder_points_parity():
         assert n == 0, "points-only test"
         return torch.zeros(0, feats.shape[1], output_size, output_size)
 
+    _orig_roi_align = torchvision.ops.roi_align
     torchvision.ops.roi_align = _empty_roi_align
     ge_mod.torchvision.ops.roi_align = _empty_roi_align
 
-    # reference forward with points only (empty boxes)
-    prompt = ge_mod.Prompt(
-        point_embeddings=torch.from_numpy(pts),
-        point_mask=torch.from_numpy(pts_mask),
-        point_labels=torch.from_numpy(pts_labels),
-        box_embeddings=torch.zeros(0, b, 4),
-        box_mask=torch.zeros(b, 0, dtype=torch.bool),
-        box_labels=torch.zeros(0, b, dtype=torch.long),
-    )
-    with torch.no_grad():
-        want, want_mask = ref(
-            geo_prompt=prompt,
-            img_feats=[torch.from_numpy(img)],
-            img_sizes=[(h, w)],
-            img_pos_embeds=[torch.from_numpy(img_pos)],
+    try:
+        # reference forward with points only (empty boxes)
+        prompt = ge_mod.Prompt(
+            point_embeddings=torch.from_numpy(pts),
+            point_mask=torch.from_numpy(pts_mask),
+            point_labels=torch.from_numpy(pts_labels),
+            box_embeddings=torch.zeros(0, b, 4),
+            box_mask=torch.zeros(b, 0, dtype=torch.bool),
+            box_labels=torch.zeros(0, b, dtype=torch.long),
         )
+        with torch.no_grad():
+            want, want_mask = ref(
+                geo_prompt=prompt,
+                img_feats=[torch.from_numpy(img)],
+                img_sizes=[(h, w)],
+                img_pos_embeds=[torch.from_numpy(img_pos)],
+            )
+    finally:
+        # restore the stub's functional roi_align so later tests (e.g.
+        # test_ops_parity's stub-vs-oracle check) see the real stub
+        torchvision.ops.roi_align = _orig_roi_align
+        ge_mod.torchvision.ops.roi_align = _orig_roi_align
 
     # mine: batch-first, zero-width box slots (masked out)
     from efficientsam3_tpu.models.geometry import Prompt as JPrompt, SequenceGeometryEncoder
