@@ -136,3 +136,31 @@ def test_metrics_writer_tensorboard_framing(tmp_path):
     assert len(records) == 3  # file-version + 2 scalar events
     assert b"brain.Event:2" in records[0]
     assert b"loss" in records[1] and b"lr" in records[1]
+
+
+def test_verify_checkpoint_compare():
+    """Integrity comparison core (reference verify_checkpoint_integrity):
+    missing/unexpected/shape-mismatch/non-finite classification."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "verify_checkpoint.py"),
+    )
+    vc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vc)
+
+    want_tree = {"a": {"w": np.zeros((2, 3)), "b": np.zeros(4)},
+                 "c": {"w": np.zeros(5)}}
+    got_tree = {"a": {"w": np.ones((2, 3)), "b": np.zeros((4, 1))},
+                "d": {"x": np.zeros(1)}}
+    got_tree["a"]["w"][0, 0] = np.nan
+    want, got = vc.flatten(want_tree), vc.flatten(got_tree)
+    missing, unexpected, mismatched, nonfinite, n, _ = vc.compare(want, got)
+    assert missing == ["c/w"]
+    assert unexpected == ["d/x"]
+    assert mismatched == [("a/b", (4, 1), (4,))]
+    assert nonfinite == [("a/w", 1)]
+    assert n == 6 + 4
