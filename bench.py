@@ -1,30 +1,128 @@
-"""Benchmark: EfficientSAM3 EV-M image PCS inference latency on one TPU chip.
+"""Benchmark: EfficientSAM3 EV-M on one TPU chip.
 
-Measures the full text-prompted grounding step (student trunk + neck +
+Primary metric: text-prompted grounding latency (student trunk + neck +
 LiteText tower + geometry + fusion encoder + decoder + seg head + scoring)
 at the reference resolution 1008x1008, batch 1, bf16 compute.
 
-The reference publishes no latency numbers (BASELINE.md) — the anchor is
+Also measured (reported in "extras" of the same JSON line):
+  - batch-8 grounding throughput (img/s)
+  - tracker step (memory attention + SAM heads + memory encoder) ms/frame
+    at the flagship 72x72/256 config with 8 object slots
+  - end-to-end ms/frame: device preprocess (resize+normalize from uint8) +
+    grounding + postprocess (score x presence threshold + mask upsample to
+    the original resolution)
+  - grounding-step MFU from XLA's compiled flop count (layers are
+    Python-unrolled, no lax.scan in the model, so the count is accurate)
+
+Timing methodology (IMPORTANT). On this box the TPU sits behind an `axon`
+tunnel where (a) jax.block_until_ready returns BEFORE remote execution
+finishes (verified: a 35-TFLOP matmul chain "completes" in 0.03 ms), and
+(b) every program dispatch/fetch pays a ~26 ms tunnel round-trip. Naive
+per-call timing therefore measures the tunnel, not the chip. Each metric
+here instead:
+  1. wraps N iterations of the step in ONE `lax.scan` program whose body
+     generates a UNIQUE on-device random input per iteration (no caching,
+     no host transfer) and accumulates a tiny f32 reduction of all outputs
+     into a single scalar - one dispatch, one forced scalar fetch;
+  2. runs at N and 2N iterations and reports (t_2N - t_N) / N, which
+     cancels the round-trip and any fixed per-program overhead exactly;
+  3. times with best-of-3 on the forced fetch (`float(run())`).
+This yields pure device compute per step - what a production deployment
+with a locally attached chip would see. The tunnel round-trip is reported
+as rtt_ms for transparency.
+
+The reference publishes no latency numbers (BASELINE.md) - the anchor is
 this project's north star of 10 ms/frame for EV-M on one v5e chip, so
 vs_baseline = 10.0 / measured_ms (>1 beats the target).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 
 NORTH_STAR_MS = 10.0
 
+# bf16 peak FLOP/s per chip by device kind (public TPU specs)
+PEAK_FLOPS = {
+    "TPU v5 lite": 394e12,  # v5e
+    "TPU v5e": 394e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6e": 918e12,
+}
+
+
+def measure_rtt(jnp, jax):
+    """One tunnel round-trip: trivial program + forced scalar fetch."""
+    triv = jax.jit(lambda x: x + 1.0)
+    y = jnp.zeros(())
+    float(triv(y))  # compile
+    best = None
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(triv(y))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def make_scanned(jax, jnp, step_sum, n):
+    """One jitted program: scan `step_sum(seed, *args) -> f32 scalar` n
+    times with unique seeds, return the accumulated scalar (forces every
+    iteration). Large operands (params, feature maps) MUST come in through
+    *args, not closures - closed-over arrays are baked into the serialized
+    HLO as literal constants, which this box's remote-compile endpoint
+    rejects (HTTP 413) once they exceed the request size limit."""
+
+    @jax.jit
+    def run(*args):
+        def body(acc, s):
+            return acc + step_sum(s, *args), ()
+
+        tot, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(n, dtype=jnp.int32)
+        )
+        return tot
+
+    return run
+
+
+def time_forced(run, args, repeats=3):
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        s = run(*args)
+        float(s)  # forced execution + single fetch
+        wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    return best
+
+
+def two_point_step_time(jax, jnp, step_sum, n, args=()):
+    """Pure per-step device time via (t_2n - t_n) / n."""
+    run_n = make_scanned(jax, jnp, step_sum, n)
+    run_2n = make_scanned(jax, jnp, step_sum, 2 * n)
+    float(run_n(*args))  # compile both
+    float(run_2n(*args))
+    t_n = time_forced(run_n, args)
+    t_2n = time_forced(run_2n, args)
+    return max(t_2n - t_n, 1e-9) / n
+
 
 def main():
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
-    from efficientsam3_tpu.build import build_efficientsam3_image_model
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
     from efficientsam3_tpu.models.geometry import Prompt
 
-    model = build_efficientsam3_image_model(
+    model, tracker = build_efficientsam3_video_model(
         backbone_type="efficientvit",
         model_name="b1",
         text_encoder_type="MobileCLIP-S0",
@@ -38,38 +136,125 @@ def main():
 
     variables = jax.jit(model.init)(rng, img, tokens, prompt)
 
-    @jax.jit
-    def infer(variables, img, tokens, prompt):
-        out = model.apply(variables, img, tokens, prompt)
-        return out["pred_logits"], out["pred_boxes"], out["pred_masks"]
+    rtt = measure_rtt(jnp, jax)
+    extras = {"rtt_ms": round(rtt * 1e3, 2)}
 
-    # warmup / compile
-    out = infer(variables, img, tokens, prompt)
-    jax.block_until_ready(out)
-
-    # Sustained per-frame time, dispatch-pipelined over UNIQUE inputs.
-    # Per-call blocking is dominated by host<->device round-trip jitter on
-    # this setup; pipelining N unique frames and blocking once measures the
-    # device's actual throughput (unique inputs + materialized outputs rule
-    # out any execution caching). Verified equal to idle per-call medians.
-    import numpy as np
-
-    n = 30
-    frames = [
-        jax.device_put(x)
-        for x in np.random.RandomState(0).rand(n, 1, 1008, 1008, 3).astype(
-            np.float32
+    def ground_sum(seed, v, batch):
+        x = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(7), seed),
+            (batch, 1008, 1008, 3), jnp.float32,
         )
-    ]
-    jax.block_until_ready(frames)
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [infer(variables, f, tokens, prompt) for f in frames]
-        jax.block_until_ready(outs)
-        wall = time.perf_counter() - t0
-        best = wall if best is None else min(best, wall)
-    ms = best / n * 1e3
+        toks = jnp.zeros((batch, 32), jnp.int32)
+        pr = Prompt.empty(batch, 4, 4)
+        out = model.apply(v, x, toks, pr)
+        return (
+            jnp.sum(out["pred_logits"].astype(jnp.float32))
+            + jnp.sum(out["pred_boxes"].astype(jnp.float32))
+            + jnp.sum(out["pred_masks"].astype(jnp.float32)) * 1e-6
+        )
+
+    # ---- primary: batch-1 grounding ms/frame (pure device step time)
+    sec = two_point_step_time(
+        jax, jnp, lambda s, v: ground_sum(s, v, 1), 16, (variables,)
+    )
+    ms = sec * 1e3
+
+    # ---- MFU of the grounding step (XLA flop count / time / peak)
+    try:
+        infer = jax.jit(lambda v, i, t, p: model.apply(v, i, t, p))
+        cost = infer.lower(variables, img, tokens, prompt).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind
+        peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+        if flops > 0 and peak:
+            extras["grounding_mfu_pct"] = round(100.0 * flops / sec / peak, 2)
+            extras["grounding_gflops"] = round(flops / 1e9, 1)
+    except Exception:
+        pass
+
+    # ---- batch-8 throughput
+    sec8 = two_point_step_time(
+        jax, jnp, lambda s, v: ground_sum(s, v, 8), 4, (variables,)
+    )
+    extras["batch8_throughput_img_s"] = round(8 / sec8, 1)
+
+    # ---- tracker step ms/frame (flagship 72 grid, 8 object slots)
+    from efficientsam3_tpu.video.tracker import init_tracker_variables
+
+    tvars = init_tracker_variables(tracker, rng)
+    fs, d, md = tracker.feat_size, tracker.d_model, tracker.mem_dim
+    s_obj = 8
+
+    rs = np.random.RandomState(0)
+    pos = jnp.asarray(rs.rand(fs * fs, d), jnp.float32)
+    mem = jnp.asarray(rs.rand(s_obj, tracker.num_maskmem, fs, fs, md), jnp.float32)
+    tpos = jnp.zeros((s_obj, tracker.num_maskmem), jnp.int32)
+    mvalid = jnp.ones((s_obj, tracker.num_maskmem), bool)
+    ptrs = jnp.asarray(rs.rand(s_obj, tracker.max_obj_ptrs, d), jnp.float32)
+    tdiff = jnp.ones((s_obj, tracker.max_obj_ptrs), jnp.float32)
+    pvalid = jnp.ones((s_obj, tracker.max_obj_ptrs), bool)
+    s0 = jnp.asarray(rs.rand(s_obj, 4 * fs, 4 * fs, d // 8), jnp.float32)
+    s1 = jnp.asarray(rs.rand(s_obj, 2 * fs, 2 * fs, d // 4), jnp.float32)
+
+    def track_sum(seed, v, pos, mem, tpos, mvalid, ptrs, tdiff, pvalid, s0, s1):
+        tok = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed),
+            (s_obj, fs * fs, d), jnp.float32,
+        )
+        cond = tracker.apply(
+            v, tok, pos, mem, tpos, mvalid, ptrs, tdiff, pvalid,
+            method=tracker.condition_features,
+        )
+        pix = cond.reshape(s_obj, fs, fs, d)
+        coords = jnp.zeros((s_obj, 1, 2))
+        labels = -jnp.ones((s_obj, 1), jnp.int32)
+        heads = tracker.apply(
+            v, pix, coords, labels, (s0, s1), True,
+            method=tracker.forward_sam_heads,
+        )
+        mem_new = tracker.apply(
+            v, tok, heads["high_res_masks"], heads["object_score_logits"],
+            False, method=tracker.encode_memory,
+        )
+        return (
+            jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
+            + jnp.sum(mem_new.astype(jnp.float32)) * 1e-6
+        )
+
+    targs = (tvars, pos, mem, tpos, mvalid, ptrs, tdiff, pvalid, s0, s1)
+    extras["tracker_step_ms_frame"] = round(
+        two_point_step_time(jax, jnp, track_sum, 32, targs) * 1e3, 3
+    )
+
+    # ---- end-to-end: uint8 preprocess + grounding + postprocess on device
+    oh, ow = 810, 1080
+
+    def e2e_sum(seed, v):
+        raw_u8 = jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(13), seed),
+            (1, oh, ow, 3), 0, 255, jnp.uint8,
+        )
+        x = raw_u8.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x, (1, 1008, 1008, 3), "linear", antialias=True)
+        x = (x - 0.5) / 0.5
+        o = model.apply(v, x, tokens, prompt)
+        scores = jax.nn.sigmoid(o["pred_logits"][..., 0]) * jax.nn.sigmoid(
+            o["presence_logit_dec"].reshape(1, 1)
+        )
+        top = jax.lax.top_k(scores[0], 16)[1]
+        masks = o["pred_masks"][0][top]
+        masks = jax.image.resize(masks.astype(jnp.float32), (16, oh, ow), "linear")
+        boxes = o["pred_boxes_xyxy"][0][top]
+        return (
+            jnp.sum(scores[0][top])
+            + jnp.sum((masks > 0).astype(jnp.float32)) * 1e-6
+            + jnp.sum(boxes.astype(jnp.float32))
+        )
+
+    extras["e2e_ms_frame"] = round(
+        two_point_step_time(jax, jnp, e2e_sum, 16, (variables,)) * 1e3, 3
+    )
 
     print(
         json.dumps(
@@ -78,6 +263,7 @@ def main():
                 "value": round(ms, 3),
                 "unit": "ms/frame",
                 "vs_baseline": round(NORTH_STAR_MS / ms, 4),
+                "extras": extras,
             }
         )
     )
