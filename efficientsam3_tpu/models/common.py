@@ -20,6 +20,7 @@ the reference's Python-side cache.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional
 
 import jax
@@ -108,12 +109,58 @@ class LayerNorm2d(nn.Module):
         return (w * xf + b).astype(x.dtype)
 
 
+# Large attention shapes route to the Pallas flash kernel: the (Lq, Lk)
+# threshold keeps small attentions (decoder queries, text towers, ViT
+# windows) on the fused-einsum path where flash overhead would dominate.
+# Measured on one v5e chip: the einsum path's fp32 logits round-trip costs
+# 6.5 ms/layer at the fusion-encoder shape (1, 8, 5216, 32).
+_FLASH_MIN_SCORES = 1 << 22
+
+
+def _flash_eligible(q, k, mask, bias):
+    if bias is not None:  # full (Lq, Lk) biases (boxRPB) stay on einsum
+        return False
+    if os.environ.get("EFFICIENTSAM3_NO_FLASH"):
+        return False
+    if q.ndim != 4 or q.shape[-2] * k.shape[-2] < _FLASH_MIN_SCORES:
+        return False
+    if mask is not None and (
+        mask.ndim != 4 or mask.shape[1] != 1 or mask.shape[2] != 1
+    ):
+        return False  # only key-padding masks map to the kernel's key bias
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def sdpa(q, k, v, mask=None, bias=None):
     """Scaled dot-product attention over (B, H, N, D) with fp32 softmax.
 
     ``mask``: bool, True = attend. ``bias``: additive logits bias.
+
+    Hot shapes (fusion-encoder self-attention, tracker memory attention)
+    dispatch to the flash kernel in ops/pallas/flash_attention.py — same
+    numerics (fp32 online softmax, probs cast to v.dtype), no (Lq, Lk)
+    logits materialization, masked memory blocks skipped. Set
+    EFFICIENTSAM3_NO_FLASH=1 to force the einsum path (e.g. under meshes
+    that shard the attention operands — the kernel is single-device).
     """
     d = q.shape[-1]
+    if _flash_eligible(q, k, mask, bias):
+        from efficientsam3_tpu.ops.pallas.flash_attention import (
+            NEG_INF,
+            flash_sdpa,
+        )
+
+        b, lk = q.shape[0], k.shape[-2]
+        if mask is None:
+            key_bias = jnp.zeros((b, lk), jnp.float32)
+        else:
+            key_bias = jnp.where(
+                mask[:, 0, 0, :], jnp.float32(0), jnp.float32(NEG_INF)
+            )
+        return flash_sdpa(q, k, v, key_bias, 1.0 / math.sqrt(d))
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / math.sqrt(d)

@@ -1,0 +1,115 @@
+"""Flash attention kernel parity (interpret mode on CPU) vs einsum sdpa."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficientsam3_tpu.ops.pallas.flash_attention import (
+    NEG_INF,
+    _einsum_reference,
+    flash_sdpa,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _rand(shape, dtype=jnp.float32):
+    return jnp.asarray(RNG.standard_normal(shape).astype(np.float32), dtype)
+
+
+@pytest.mark.parametrize("b,h,lq,lk,d", [
+    (1, 2, 96, 96, 32),     # self-attention, multi-head, padding needed
+    (2, 1, 64, 224, 64),    # cross-attention, kv longer than q
+])
+def test_flash_matches_einsum(b, h, lq, lk, d):
+    q, k, v = _rand((b, h, lq, d)), _rand((b, h, lk, d)), _rand((b, h, lk, d))
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, lk - 17:] = NEG_INF  # padded keys
+    bias = jnp.asarray(bias)
+    want = _einsum_reference(q, k, v, bias, 1.0 / np.sqrt(d))
+    got = flash_sdpa(q, k, v, bias, block_q=32, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_block_skipping():
+    """Fully-masked kv blocks are skipped; result equals attention over the
+    valid prefix only."""
+    b, h, lq, lk, d = 1, 1, 32, 256, 32
+    q, k, v = _rand((b, h, lq, d)), _rand((b, h, lk, d)), _rand((b, h, lk, d))
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, 64:] = NEG_INF  # only the first of four 64-blocks valid
+    bias = jnp.asarray(bias)
+    got = flash_sdpa(q, k, v, bias, block_q=32, block_k=64, interpret=True)
+    want = _einsum_reference(
+        q, k[:, :, :64], v[:, :, :64], bias[:, :64], 1.0 / np.sqrt(d)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16_matches_einsum_semantics():
+    """bf16 inputs: probs are cast to bf16 before AV exactly like the
+    einsum path, so both formulations agree tightly even in bf16."""
+    b, h, lq, lk, d = 1, 2, 64, 64, 32
+    q = _rand((b, h, lq, d), jnp.bfloat16)
+    k = _rand((b, h, lk, d), jnp.bfloat16)
+    v = _rand((b, h, lk, d), jnp.bfloat16)
+    bias = jnp.zeros((b, lk), jnp.float32)
+    want = _einsum_reference(q, k, v, bias, 1.0 / np.sqrt(d))
+    got = flash_sdpa(q, k, v, bias, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_flash_grad_matches_einsum():
+    b, h, lq, lk, d = 1, 1, 32, 64, 16
+    q, k, v = _rand((b, h, lq, d)), _rand((b, h, lk, d)), _rand((b, h, lk, d))
+    bias = jnp.zeros((b, lk), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_sdpa(q, k, v, bias, block_q=32, block_k=32, interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = _einsum_reference(q, k, v, bias, 1.0 / np.sqrt(d))
+        return jnp.sum(o * o)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_sdpa_flash_routing_rules():
+    """Routing: large key-padding-masked shapes are flash-eligible on TPU
+    only; biases, small shapes, and full masks stay on the einsum path."""
+    from efficientsam3_tpu.models.common import _flash_eligible
+
+    big_q = jnp.zeros((1, 8, 5216, 32), jnp.bfloat16)
+    small_q = jnp.zeros((1, 8, 200, 32), jnp.bfloat16)
+    kpm = jnp.ones((1, 1, 1, 5216), bool)
+    full_mask = jnp.ones((1, 8, 5216, 5216), bool)
+    bias = jnp.zeros((1, 8, 5216, 5216))
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert _flash_eligible(big_q, big_q, None, None) == on_tpu
+    assert _flash_eligible(big_q, big_q, kpm, None) == on_tpu
+    # full (Lq, Lk) masks and additive biases: einsum path
+    assert not _flash_eligible(big_q, big_q, full_mask, None)
+    assert not _flash_eligible(big_q, big_q, None, bias)
+    # small score matrices: einsum path
+    assert not _flash_eligible(small_q, big_q, None, None)
+    # env kill-switch
+    import os
+
+    os.environ["EFFICIENTSAM3_NO_FLASH"] = "1"
+    try:
+        assert not _flash_eligible(big_q, big_q, None, None)
+    finally:
+        del os.environ["EFFICIENTSAM3_NO_FLASH"]
