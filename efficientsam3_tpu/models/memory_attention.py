@@ -43,6 +43,7 @@ class MemoryAttentionLayer(nn.Module):
         memory_pos,  # (B, S, kv_in_dim)
         memory_mask=None,  # (B, S) True = invalid slot
         num_obj_ptr_tokens: int = 0,
+        self_key_padding_mask=None,  # (B, HW) True = skip (empty obj slot)
         *,
         train: bool = False,
     ):
@@ -52,7 +53,7 @@ class MemoryAttentionLayer(nn.Module):
         t2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         t2 = RoPEAttention(
             self.d_model, self.num_heads, dtype=self.dtype, name="self_attn"
-        )(t2, t2, t2)
+        )(t2, t2, t2, key_padding_mask=self_key_padding_mask)
         tgt = tgt + do(t2)
 
         t2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
@@ -100,12 +101,24 @@ class MemoryAttention(nn.Module):
         out = src
         if self.pos_enc_at_input and src_pos is not None:
             out = out + 0.1 * src_pos
+        # object slots with NO valid memory tokens at all are empty padding
+        # (the predictor gates their outputs by slot_valid); masking their
+        # self-attention keys lets the flash kernel skip those slots' 5184^2
+        # blocks entirely, so per-frame compute scales with ACTIVE objects
+        # while shapes stay static (the reference reshapes dynamically).
+        self_kpm = None
+        if memory_mask is not None:
+            slot_empty = jnp.all(memory_mask, axis=-1)  # (B,)
+            self_kpm = jnp.broadcast_to(
+                slot_empty[:, None], (src.shape[0], src.shape[1])
+            )
         for i in range(self.num_layers):
             out = MemoryAttentionLayer(
                 self.d_model, self.dim_feedforward, kv_in_dim=self.kv_in_dim,
                 dtype=self.dtype, name=f"layers_{i}",
             )(
                 out, memory, memory_pos, memory_mask,
-                num_obj_ptr_tokens=num_obj_ptr_tokens, train=train,
+                num_obj_ptr_tokens=num_obj_ptr_tokens,
+                self_key_padding_mask=self_kpm, train=train,
             )
         return nn.LayerNorm(epsilon=1e-5, name="norm")(out)

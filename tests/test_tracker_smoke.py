@@ -168,3 +168,52 @@ def test_init_tracker_variables_covers_all_methods():
         True, method=core.forward_sam_heads,
     )
     assert all(jnp.isfinite(x).all() for x in jax.tree.leaves(out))
+
+
+def test_empty_slots_do_not_affect_valid_slots():
+    """Slot-skip masking: an object slot with no valid memories/pointers is
+    self-attention-masked (the flash kernel skips its blocks on TPU); the
+    VALID slots' conditioned features must be bit-identical to a run where
+    the empty slot carries garbage-but-"valid" structure."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    core, variables, *_ = _tiny_setup()
+    fs, d, md = core.feat_size, core.d_model, core.mem_dim
+    b = 3
+    rng = np.random.RandomState(0)
+    tok = jnp.asarray(rng.rand(b, fs * fs, d), jnp.float32)
+    pos = jnp.asarray(rng.rand(fs * fs, d), jnp.float32)
+    mem = jnp.asarray(rng.rand(b, core.num_maskmem, fs, fs, md), jnp.float32)
+    tpos = jnp.zeros((b, core.num_maskmem), jnp.int32)
+    ptrs = jnp.asarray(rng.rand(b, core.max_obj_ptrs, d), jnp.float32)
+    tdiff = jnp.ones((b, core.max_obj_ptrs), jnp.float32)
+
+    def run(mvalid, pvalid):
+        return core.apply(
+            variables, tok, pos, mem, tpos, jnp.asarray(mvalid),
+            ptrs, tdiff, jnp.asarray(pvalid),
+            method=core.condition_features,
+        )
+
+    all_valid = np.ones((b, core.num_maskmem), bool)
+    all_pvalid = np.ones((b, core.max_obj_ptrs), bool)
+    dense = run(all_valid, all_pvalid)
+
+    # slot 1 empty: no memories, no pointers
+    mv = all_valid.copy(); mv[1] = False
+    pv = all_pvalid.copy(); pv[1] = False
+    sparse = run(mv, pv)
+
+    # valid slots identical; empty slot finite (predictor gates it anyway)
+    np.testing.assert_array_equal(np.asarray(sparse[0]), np.asarray(
+        run(mv, pv)[0]))  # determinism sanity
+    np.testing.assert_allclose(
+        np.asarray(sparse[0]), np.asarray(dense[0]), atol=2e-5, rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse[2]), np.asarray(dense[2]), atol=2e-5, rtol=2e-5
+    )
+    assert np.isfinite(np.asarray(sparse[1])).all()
