@@ -227,6 +227,41 @@ def main():
         two_point_step_time(jax, jnp, track_sum, 32, targs) * 1e3, 3
     )
 
+    # ---- SAM1-task point prompt encode+decode (the stated north star is
+    # "EV-M point-prompt encode+decode < 10 ms/frame on one v5e chip":
+    # student trunk -> SAM2 neck -> no-mem conditioning -> SAM heads; the
+    # SAM3 detector branch dead-code-eliminates away)
+    fs_t, d_t = tracker.feat_size, tracker.d_model
+
+    def sam1_sum(seed, vm, vt):
+        x = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(17), seed),
+            (1, 1008, 1008, 3), jnp.float32,
+        )
+        feats = model.apply(vm, x, method=model.encode_image)
+        fpn = feats["sam2_fpn"]
+        s0, s1 = tracker.apply(
+            vt, fpn[0], fpn[1],
+            method=lambda m, a, b2: m.sam_mask_decoder.high_res_convs(a, b2),
+        )
+        tok = fpn[2].reshape(1, fs_t * fs_t, d_t)
+        cond = tracker.apply(vt, tok, method=tracker.no_mem_features)
+        pix = cond.reshape(1, fs_t, fs_t, d_t)
+        coords = jnp.full((1, 1, 2), 504.0)
+        labels = jnp.ones((1, 1), jnp.int32)
+        heads = tracker.apply(
+            vt, pix, coords, labels, (s0, s1), True,
+            method=tracker.forward_sam_heads,
+        )
+        return (
+            jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["ious"].astype(jnp.float32))
+        )
+
+    extras["sam1_point_prompt_ms_frame"] = round(
+        two_point_step_time(jax, jnp, sam1_sum, 16, (variables, tvars)) * 1e3, 3
+    )
+
     # ---- end-to-end: uint8 preprocess + grounding + postprocess on device
     oh, ow = 810, 1080
 
