@@ -7,12 +7,14 @@ reimplements those semantics from the RoIAlign paper: each output bin
 averages ``ratio_h * ratio_w`` bilinear samples, where for adaptive mode
 (sampling_ratio <= 0) ``ratio = ceil(roi_size / out_size)`` per ROI.
 
-TPU-first design: all ROIs are processed as one batched gather - no per-ROI
-Python loop - so the op jits to a single fused gather/arith program with
-static shapes (num_rois is padded by callers). Adaptive sampling keeps
-static shapes by sampling a fixed ``max_sampling_ratio`` grid per bin and
-weighting each sample by ``(k < ratio) / ratio``; sample *positions* are
-computed with the dynamic per-ROI ratio, so the result is bit-comparable to
+TPU-first design: bilinear sampling and per-bin averaging are separable per
+axis, so each ROI's pooling is expressed as two small matmuls
+(``Ry @ F @ Rx^T``) whose weight matrices bake the bilinear interpolation,
+the torchvision validity window, and the 1/ratio bin average — no gathers
+(TPU gathers run on the VPU and were ~1.8 ms at the geometry-encoder
+shape). Adaptive sampling keeps static shapes by building the weights over
+a fixed ``max_sampling_ratio`` grid with ``(k < ratio) / ratio`` masking;
+sample *positions* use the dynamic per-ROI ratio, so the result matches
 torchvision as long as ratio <= max_sampling_ratio (for 72x72 features and
 roi_size 7, ratio <= ceil(72/7) = 11).
 """
@@ -85,49 +87,37 @@ def roi_align(
     wy = jnp.where(ky[None, :] < r_h[:, None], 1.0 / r_h[:, None], 0.0)
     wx = jnp.where(kx[None, :] < r_w[:, None], 1.0 / r_w[:, None], 0.0)
 
-    # torchvision: samples with y < -1 or y > H are zero; else coords clamped
+    # Bilinear sampling + per-bin averaging is SEPARABLE per axis, so the
+    # whole op factors into two tiny matmuls per ROI: out = Ry @ F @ Rx^T,
+    # where Ry (R, out_h, H) carries the bilinear row weights, the
+    # torchvision validity window (y in [-1, H], else zero), and the 1/ratio
+    # bin-average, and Rx likewise for columns. This replaces the previous
+    # (out*s)^2-point batched gather — TPU gathers run on the VPU and cost
+    # ~1.8 ms at the geometry-encoder shape vs ~0 for the matmul form.
+    def axis_weights(coord, valid, wgt, size, out_size):
+        """coord/valid/wgt: (R, out_size*s) -> (R, out_size, size)."""
+        cc = jnp.clip(coord, 0.0, size - 1)
+        c0 = jnp.floor(cc)
+        frac = cc - c0
+        c0i = c0.astype(jnp.int32)
+        c1i = jnp.minimum(c0i + 1, size - 1)
+        idx = jnp.arange(size, dtype=jnp.int32)
+        a = (1.0 - frac)[:, :, None] * (idx[None, None] == c0i[:, :, None]) \
+            + frac[:, :, None] * (idx[None, None] == c1i[:, :, None])
+        a = a * (wgt * valid.astype(wgt.dtype))[:, :, None]
+        r = a.shape[0]
+        return a.reshape(r, out_size, s, size).sum(axis=2)
+
     valid_y = (sy >= -1.0) & (sy <= h)
     valid_x = (sx >= -1.0) & (sx <= w)
-    syc = jnp.clip(sy, 0.0, h - 1)
-    sxc = jnp.clip(sx, 0.0, w - 1)
+    ry = axis_weights(sy, valid_y, wy, h, out_h)  # (R, out_h, H)
+    rx = axis_weights(sx, valid_x, wx, w, out_w)  # (R, out_w, W)
 
-    y0 = jnp.floor(syc)
-    x0 = jnp.floor(sxc)
-    wy1 = syc - y0
-    wx1 = sxc - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-
-    feats = features[batch_indices]  # (R, C, H, W)
-    flat = feats.reshape(feats.shape[0], c, h * w)
-
-    def gather2d(yi, xi):
-        # yi: (R, HS), xi: (R, WS) -> (R, C, HS, WS)
-        idx = yi[:, :, None] * w + xi[:, None, :]  # (R, HS, WS)
-        r = idx.shape[0]
-        out = jnp.take_along_axis(flat, idx.reshape(r, 1, -1), axis=2)
-        return out.reshape(r, c, yi.shape[1], xi.shape[1])
-
-    v00 = gather2d(y0i, x0i)
-    v01 = gather2d(y0i, x1i)
-    v10 = gather2d(y1i, x0i)
-    v11 = gather2d(y1i, x1i)
-
-    wy1b = wy1[:, None, :, None]
-    wx1b = wx1[:, None, None, :]
-    samples = (
-        v00 * (1 - wy1b) * (1 - wx1b)
-        + v01 * (1 - wy1b) * wx1b
-        + v10 * wy1b * (1 - wx1b)
-        + v11 * wy1b * wx1b
+    feats = features[batch_indices].astype(jnp.float32)  # (R, C, H, W)
+    rows = jnp.einsum(
+        "rbi,rcij->rcbj", ry, feats, preferred_element_type=jnp.float32
     )
-    mask = (valid_y[:, None, :, None] & valid_x[:, None, None, :]).astype(samples.dtype)
-    weight = (wy[:, None, :, None] * wx[:, None, None, :]).astype(samples.dtype)
-    samples = samples * mask * weight
-
-    # Weighted sum of the s x s samples per bin (weights sum to 1 per bin).
-    r = samples.shape[0]
-    samples = samples.reshape(r, c, out_h, s, out_w, s)
-    return samples.sum(axis=(3, 5)).astype(features.dtype)
+    out = jnp.einsum(
+        "rcbj,rxj->rcbx", rows, rx, preferred_element_type=jnp.float32
+    )
+    return out.astype(features.dtype)
