@@ -165,13 +165,20 @@ def _einsum_reference(q, k, v, key_bias, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _auto_blocks(d):
-    """Measured on v5e at the model's hot shapes (block-size sweep): small
-    head dims want wide kv blocks to amortize per-grid-step overhead
-    (fusion (1,8,5216,32): 512x2048 = 1.16 ms vs 512x512 = 2.28 ms); at
-    d=256 the logits+kv VMEM footprint favors 512x1024 (memory
-    cross-attention (8,1,5184,36416): 11.8 ms vs einsum 28 ms)."""
-    return 512, (2048 if d <= 64 else 1024)
+def _auto_blocks(lq, lk, d):
+    """Measured on v5e at the model's hot shapes (block-size sweeps):
+    - small head dims want wide kv blocks to amortize per-grid-step
+      overhead (fusion (1,8,5216,32): 512x2048 = 1.16 ms vs 512x512 = 2.28);
+    - d=256 self-attention favors 512x1024 (tracker (8,1,5184^2,256):
+      1.08 ms);
+    - d=256 long-kv cross-attention favors TALL q blocks so each slot's
+      ~37 MB of memory keys streams through fewer times (memory
+      cross (8,1,5184,36416,256): 2624x512 = 10.7 ms vs 512x1024 = 11.8)."""
+    if d <= 64:
+        return 512, 2048
+    if lk >= 4 * lq:
+        return 2624, 512
+    return 512, 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -185,7 +192,7 @@ def flash_sdpa(q, k, v, key_bias, sm_scale=None, block_q=None, block_k=None,
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    bq, bk = _auto_blocks(q.shape[-1])
+    bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], q.shape[-1])
     return _flash_fwd(q, k, v, key_bias, sm_scale, block_q or bq,
                       block_k or bk, interpret)
 
