@@ -69,6 +69,25 @@ SACO_GOLD_GTS = {
     ],
 }
 
+# silver image-eval subsets (single-annotator cgF1 per domain dataset;
+# reference train/configs/silver_image_evals/*.yaml, 10 domains)
+SACO_SILVER_SUBSETS = (
+    "bdd100k", "droid", "ego4d", "fathomnet", "food_rec",
+    "geode", "inaturalist", "nga", "sav", "yt1b",
+)
+
+# SA-Co/VEval video subsets: dataset x split x (with/without the tracking
+# heuristics — hotstart, occlusion suppression, reconditioning; reference
+# train/configs/saco_video_evals/*.yaml, 12 configs). The video pipeline's
+# heuristics map to VideoPCSConfig fields; "noheur" runs with
+# hotstart_delay=0 and suppression off.
+SACO_VEVAL_SUBSETS = tuple(
+    f"{ds}_{split}{suffix}"
+    for ds in ("sav", "smartglasses", "yt1b")
+    for split in ("val", "test")
+    for suffix in ("", "_noheur")
+)
+
 PHRASE_KEYS = ("query", "text", "noun_phrase", "phrase", "caption")
 
 
@@ -255,6 +274,47 @@ def evaluate_gold_subsets(
             records = [r for s in shards for r in s]
         existing = [p for p in paths if os.path.exists(p)]
         table[name] = evaluate_cgf1_files(records, existing, iou_type)
+    if table:
+        keys = ("cgF1", "IL_MCC", "positive_micro_F1")
+        table["average"] = {
+            k: float(np.mean([v[k] for s, v in table.items() if s != "average"]))
+            for k in keys
+        }
+    return table
+
+
+def evaluate_silver_subsets(
+    predict_fn: Callable,
+    gt_folder: str,
+    load_image: Callable[[dict], np.ndarray],
+    subsets: Sequence[str] = SACO_SILVER_SUBSETS,
+    iou_type: str = "segm",
+    max_pairs: Optional[int] = None,
+    rendezvous_dir: Optional[str] = None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> dict:
+    """Per-domain silver cgF1 table (reference silver_image_evals configs:
+    one annotation file per domain, `sam3_silver_image_<domain>.json`),
+    same inference/gather machinery as the gold driver."""
+    table = {}
+    for name in subsets:
+        path = os.path.join(gt_folder, f"sam3_silver_image_{name}.json")
+        if not os.path.exists(path):
+            continue
+        records = run_gold_inference(
+            predict_fn, path, load_image, max_pairs,
+            process_index, process_count,
+        )
+        if rendezvous_dir is not None and (process_count or 1) > 1:
+            from efficientsam3_tpu.eval.distributed import all_gather_via_filesys
+
+            shards = all_gather_via_filesys(
+                records, rendezvous_dir, tag=f"silver_{name}",
+                process_index=process_index, process_count=process_count,
+            )
+            records = [r for s in shards for r in s]
+        table[name] = evaluate_cgf1_files(records, [path], iou_type)
     if table:
         keys = ("cgF1", "IL_MCC", "positive_micro_F1")
         table["average"] = {
