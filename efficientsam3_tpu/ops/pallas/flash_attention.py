@@ -173,11 +173,13 @@ def _auto_blocks(lq, lk, d):
       1.08 ms);
     - d=256 long-kv cross-attention favors TALL q blocks so each slot's
       ~37 MB of memory keys streams through fewer times (memory
-      cross (8,1,5184,36416,256): 2624x512 = 10.7 ms vs 512x1024 = 11.8)."""
+      cross (8,1,5184,36416,256): 11.4 ms at 1312x512 vs 11.8 at 512x1024;
+      2624x512 measured 10.7 but compiles at ~131% of the 16 MB VMEM
+      budget and OOMs depending on scheduling - not robust)."""
     if d <= 64:
         return 512, 2048
     if lk >= 4 * lq:
-        return 2624, 512
+        return 1312, 512
     return 512, 1024
 
 
