@@ -5,40 +5,25 @@ the variant Sam3Image uses: focal class cost + L1 + GIoU with weights
 2/5/2, alpha 0.25, gamma 2).
 
 TPU-first: the cost matrix is built on device (batched, static shapes with
-padded targets); the assignment itself is solved on host through
-jax.pure_callback into scipy.linear_sum_assignment — the matrices are
-(200, max_targets) and the reference also solves on CPU (scipy). Padded
-target slots get +inf-ish cost so they are never chosen; returned
-assignments are fixed-width (num_targets_max) index arrays with a validity
-mask.
+padded targets) and the assignment is ALSO solved on device by the exact
+shortest-augmenting-path Hungarian in ops/hungarian.py — the reference
+(and a previous revision here) round-trips to scipy on the host every
+step, which stalls the training pipeline and is impossible on PJRT
+backends without host-callback support. Padded target slots get
++inf-ish cost so they are never preferred; returned assignments are
+fixed-width (num_targets_max) index arrays with a validity mask.
 """
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
+from efficientsam3_tpu.ops.hungarian import solve_assignment_batched
 from efficientsam3_tpu.ops.masks import generalized_box_iou
 from efficientsam3_tpu.models.decoder import box_cxcywh_to_xyxy
 
 BIG_COST = 1e6
-
-
-def _lsa_host(cost):
-    """cost: (B, Q, T) numpy -> (B, T) query index assigned to each target."""
-    from scipy.optimize import linear_sum_assignment
-
-    b, q, t = cost.shape
-    out = np.zeros((b, t), np.int32)
-    for i in range(b):
-        rows, cols = linear_sum_assignment(cost[i])
-        # rows: query indices, cols: target indices
-        out[i][cols] = rows.astype(np.int32)
-    return out
 
 
 def hungarian_match(
@@ -71,11 +56,7 @@ def hungarian_match(
     cost = jnp.where(tgt_valid[:, None, :], cost, BIG_COST)
     cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
 
-    b, q, t = cost.shape
-    assigned = jax.pure_callback(
-        _lsa_host,
-        jax.ShapeDtypeStruct((b, t), jnp.int32),
-        cost,
-        vmap_method="sequential",
-    )
+    # rows = targets, columns = queries (T <= Q): each target gets a
+    # distinct query, minimizing total cost — same optimum as scipy
+    assigned = solve_assignment_batched(jnp.swapaxes(cost, 1, 2))
     return assigned, tgt_valid
