@@ -26,9 +26,14 @@ Design notes (TPU):
     sam3_tracker_base.py memory concat).
   - probabilities are cast to the value dtype (bf16) before the AV matmul,
     matching the einsum path's `softmax(...).astype(v.dtype)` semantics.
-  - backward: jax.custom_vjp re-derives gradients through the reference
-    einsum formulation (recompute; no score-matrix residuals saved). Same
-    memory behaviour as the previous all-einsum training path.
+  - head_dim < 128 (the fusion encoder's 8 heads x 32) dispatches to a
+    head-PACKED transposed kernel (_packed_kernel) that keeps all 128 MXU
+    contraction lanes live; see its docstring.
+  - backward: Pallas dq / dk+dv kernels (_bwd_dq_kernel, _bwd_dkv_kernel)
+    recompute P from a saved logsumexp residual, so training never
+    materializes the (Lq, Lk) logits in HBM either (the reference ships FA3
+    fwd+bwd custom ops for the same reason, sam3/sam3/perflib/fa3.py).
+    EFFICIENTSAM3_EINSUM_BWD=1 falls back to einsum-recompute gradients.
 
 The wrapper pads Lq/Lk to block multiples (padding keys are masked through
 the bias, padded query rows are sliced off) so callers keep arbitrary
@@ -39,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+def _kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             acc_ref, m_ref, l_ref, *, sm_scale: float, blocks_k: int,
             heads: int):
     ki = pl.program_id(2)
@@ -92,9 +98,14 @@ def _kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     def _finalize():
         l = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        # logsumexp residual for the Pallas backward; NEG_INF rows mark
+        # queries whose keys were ALL masked (backward treats p as 0 there)
+        m = m_ref[:, :1]
+        lse_ref[0] = jnp.where(m > NEG_INF / 2, m + jnp.log(l), NEG_INF)
 
 
-def _flash_fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret,
+               return_lse=False):
     """q (B,H,Lq,D), k/v (B,H,Lk,D), key_bias (B,Lk) f32 -> (B,H,Lq,D)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
@@ -138,8 +149,14 @@ def _flash_fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, d), lambda gi, qi, ki: (gi, ki, 0)),
             pl.BlockSpec((1, 8, block_k), lambda gi, qi, ki: (gi // h, 0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda gi, qi, ki: (gi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((g, lqp, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda gi, qi, ki: (gi, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda gi, qi, ki: (gi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, lqp, d), q.dtype),
+            jax.ShapeDtypeStruct((g, lqp, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -151,8 +168,385 @@ def _flash_fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret):
         interpret=interpret,
     )(kvalid, qg, kg, vg, key_bias8)
 
-    out = out.reshape(b, h, lqp, d)
-    return out[:, :, :lq] if pad_q else out
+    out, lse = out
+    out = out.reshape(b, h, lqp, d)[:, :, :lq]
+    if return_lse:
+        return out, lse.reshape(b, h, lqp)[:, :, :lq]
+    return out
+
+
+def _packed_kernel(kvalid_ref, qt_ref, k_ref, vt_ref, bias_ref, o_ref,
+                   lse_ref, acc_ref, m_ref, l_ref, *, sm_scale: float,
+                   blocks_k: int, groups_per_b: int, p: int, d: int):
+    """Head-packed transposed flash attention for head_dim < 128.
+
+    At head_dim 32 the MXU's 128-lane contraction is 3/4 idle in the
+    straightforward per-head formulation (measured: 1.16 ms/layer at the
+    fusion-encoder shape, ~4x the matmul roofline). This kernel packs
+    p = 128 // d heads into one full-lane contraction:
+
+      logits (transposed): S_T (p*bk, bq) = K_blk (p*bk, 128) @ Q_T (128, bq)
+        where K_blk is block-diagonal -- row block h holds head h's keys in
+        feature columns [h*d, (h+1)*d) and zeros elsewhere, so row h*bk+i of
+        the product is exactly k_h[i] . q_h[:, :] with all 128 lanes live.
+      AV (transposed): per head O_h^T (d, bq) += V_h^T (d, bk) @ P_h^T (bk, bq)
+        -- full-lane contraction over bk, and the (d, bq) output wastes no
+        lanes (d rows quantize at the 8-sublane granularity, bq fills lanes).
+
+    The online softmax runs over axis 1 of S_T viewed as (p, bk, bq); the
+    key bias arrives pre-transposed as a (bk, 1) sublane vector.
+    """
+    ki = pl.program_id(2)
+    bq = o_ref.shape[2]
+    bk = k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kvalid_ref[pl.program_id(0) // groups_per_b, ki] != 0)
+    def _block():
+        kb = k_ref[0]  # (bk, 128) bf16, heads dense along features
+        qt = qt_ref[0]  # (128, bq)
+        # block-diagonal K: row block h <- head h's keys, other features 0
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (p * bk, 128), 0) // bk
+        col_head = jax.lax.broadcasted_iota(jnp.int32, (p * bk, 128), 1) // d
+        k_blk = jnp.where(
+            row_head == col_head, pltpu.repeat(kb, p, axis=0), 0
+        )
+        s_t = jax.lax.dot_general(
+            k_blk, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (p*bk, bq) f32; row h*bk+i = logits of key i vs head h queries
+        s3 = s_t.reshape(p, bk, bq) * sm_scale + bias_ref[0][None]
+
+        m_prev = m_ref[:, :1, :]  # (p, 1, bq)
+        l_prev = l_ref[:, :1, :]
+        m_cur = jnp.max(s3, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        pm = jnp.exp(s3 - m_new)  # (p, bk, bq) f32
+        corr = jnp.exp(m_prev - m_new)  # (p, 1, bq)
+        l_ref[:] = jnp.broadcast_to(
+            l_prev * corr + jnp.sum(pm, axis=1, keepdims=True), l_ref.shape
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        pmv = pm.astype(vt_ref.dtype)
+        vt = vt_ref[0]  # (128, bk)
+        for h in range(p):  # p small (4 at d=32); unrolled
+            pv = jax.lax.dot_general(
+                vt[h * d:(h + 1) * d, :], pmv[h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, bq)
+            acc_ref[h] = acc_ref[h] * corr[h] + pv
+
+    @pl.when(ki == blocks_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1, :], 1e-30)  # (p, 1, bq)
+        o = acc_ref[:] / l  # (p, d, bq)
+        o_ref[0] = o.reshape(p * d, bq).astype(o_ref.dtype)
+        m = m_ref[:, :1, :]
+        lse_ref[0] = jnp.where(m > NEG_INF / 2, m + jnp.log(l), NEG_INF)[
+            :, 0, :
+        ]
+
+
+def _flash_fwd_packed(q, k, v, key_bias, sm_scale, block_q, block_k,
+                      interpret, return_lse=False):
+    """Packed-transposed path for d in {16, 32, 64}: see _packed_kernel."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    p = 128 // d
+    assert h % p == 0, (h, d)
+    g = h // p  # head groups per batch element
+    bg = b * g
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    lqp, lkp = lq + pad_q, lk + pad_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    key_bias = jnp.pad(
+        key_bias.astype(jnp.float32), ((0, 0), (0, pad_k)),
+        constant_values=NEG_INF,
+    )
+
+    blocks_k = lkp // block_k
+    kvalid = jnp.any(
+        key_bias.reshape(b, blocks_k, block_k) > NEG_INF / 2, axis=-1
+    ).astype(jnp.int32)
+    bias_t = key_bias[:, :, None]  # (B, Lkp, 1) -- kv along sublanes
+
+    # channel-major (transposed) operand layouts; XLA fuses these relayouts
+    # with the preceding split_heads transposes
+    qt = q.reshape(b, g, p, lqp, d).transpose(0, 1, 2, 4, 3).reshape(
+        bg, p * d, lqp
+    )
+    kd = k.reshape(b, g, p, lkp, d).transpose(0, 1, 3, 2, 4).reshape(
+        bg, lkp, p * d
+    )
+    vt = v.reshape(b, g, p, lkp, d).transpose(0, 1, 2, 4, 3).reshape(
+        bg, p * d, lkp
+    )
+
+    grid = (bg, lqp // block_q, blocks_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, sm_scale=sm_scale, blocks_k=blocks_k,
+            groups_per_b=g, p=p, d=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p * d, block_q), lambda gi, qi, ki: (gi, 0, qi)),
+            pl.BlockSpec((1, block_k, p * d), lambda gi, qi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, p * d, block_k), lambda gi, qi, ki: (gi, 0, ki)),
+            pl.BlockSpec(
+                (1, block_k, 1),
+                lambda gi, qi, ki, g_=g: (gi // g_, ki, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, p * d, block_q), lambda gi, qi, ki: (gi, 0, qi)
+            ),
+            pl.BlockSpec((1, p, block_q), lambda gi, qi, ki: (gi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bg, p * d, lqp), q.dtype),
+            jax.ShapeDtypeStruct((bg, p, lqp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((p, d, block_q), jnp.float32),
+            pltpu.VMEM((p, 8, block_q), jnp.float32),
+            pltpu.VMEM((p, 8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvalid, qt, kd, vt, bias_t)
+
+    out, lse = out
+    out = out.reshape(b, g, p, d, lqp).transpose(0, 1, 2, 4, 3).reshape(
+        b, h, lqp, d
+    )[:, :, :lq]
+    if return_lse:
+        return out, lse.reshape(b, h, lqp)[:, :, :lq]
+    return out
+
+
+def flash_sdpa_packed(q, k, v, key_bias, sm_scale=None, block_q=512,
+                      block_k=512, interpret=False):
+    """Forward-only packed attention entry (benchmarks and tests)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_fwd_packed(q, k, v, key_bias, sm_scale, block_q, block_k,
+                             interpret)
+
+
+def _bwd_dq_kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                   lse_ref, delta_ref, dq_ref, acc_ref, *, sm_scale: float,
+                   blocks_k: int, heads: int):
+    """dQ = (P ∘ (dO V^T - Δ)) K * scale, accumulated over kv blocks.
+
+    P is recomputed exactly from the saved logsumexp (no running max
+    needed: p = exp(s - lse)); Δ = rowsum(dO * O) comes in precomputed.
+    Fully-masked kv blocks are skipped (their P column block is 0).
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kvalid_ref[pl.program_id(0) // heads, ki] != 0)
+    def _block():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale + bias_ref[0, 0:1, :]
+        lse = lse_ref[0]  # (blk_q, 1)
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, blk_k)
+        ds = p * (dp - delta_ref[0])
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == blocks_k - 1)
+    def _finalize():
+        dq_ref[0] = (acc_ref[:] * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                    lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    sm_scale: float, blocks_q: int, heads: int):
+    """dV = P^T dO; dK = (P ∘ (dO V^T - Δ))^T Q * scale, over q blocks.
+
+    Grid is (batch*heads, kv blocks, q blocks) with q sequential so the
+    (blk_k, D) accumulators persist per kv block. Zero-padded dO rows make
+    padded queries contribute nothing (Δ = 0, dO = 0)."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(kvalid_ref[pl.program_id(0) // heads, pl.program_id(1)] != 0)
+    def _block():
+        q = q_ref[0]
+        k = k_ref[0]
+        do = do_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale + bias_ref[0, 0:1, :]
+        lse = lse_ref[0]  # (blk_q, 1)
+        p = jnp.where(lse > NEG_INF / 2, jnp.exp(s - lse), 0.0)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_k, D) = P^T dO
+        dp = jax.lax.dot_general(
+            do, v_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0])
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == blocks_q - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * sm_scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, key_bias, o, lse, do, sm_scale, block_q, block_k,
+               interpret):
+    """Pallas backward: returns (dq, dk, dv) without materializing (Lq, Lk)
+    logits in HBM (the previous einsum-recompute backward did, which is
+    what made full-resolution stage-3 training memory-bound)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    g = b * h
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    lqp, lkp = lq + pad_q, lk + pad_k
+    if pad_q:
+        pads = ((0, 0), (0, 0), (0, pad_q), (0, 0))
+        q = jnp.pad(q, pads)
+        do = jnp.pad(do, pads)
+        o = jnp.pad(o, pads)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad_q)),
+                      constant_values=NEG_INF)
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    key_bias = jnp.pad(
+        key_bias.astype(jnp.float32), ((0, 0), (0, pad_k)),
+        constant_values=NEG_INF,
+    )
+
+    blocks_q = lqp // block_q
+    blocks_k = lkp // block_k
+    kvalid = jnp.any(
+        key_bias.reshape(b, blocks_k, block_k) > NEG_INF / 2, axis=-1
+    ).astype(jnp.int32)
+    key_bias8 = jnp.broadcast_to(key_bias[:, None, :], (b, 8, lkp))
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (B, H, Lqp)
+    qg = q.reshape(g, lqp, d)
+    kg = k.reshape(g, lkp, d)
+    vg = v.reshape(g, lkp, d)
+    dog = do.reshape(g, lqp, d)
+    lseg = lse.reshape(g, lqp, 1)
+    deltag = delta.reshape(g, lqp, 1)
+
+    def specs(q_of, k_of):
+        """Input specs shared by both kernels; q_of/k_of pick which grid
+        axis indexes q blocks vs kv blocks."""
+        return [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d),
+                         lambda gi, i, j: (gi, q_of(i, j), 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda gi, i, j: (gi, k_of(i, j), 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda gi, i, j: (gi, k_of(i, j), 0)),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda gi, i, j: (gi // h, 0, k_of(i, j))),
+            pl.BlockSpec((1, block_q, d),
+                         lambda gi, i, j: (gi, q_of(i, j), 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda gi, i, j: (gi, q_of(i, j), 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda gi, i, j: (gi, q_of(i, j), 0)),
+        ]
+
+    # dq: grid (g, q blocks, kv blocks), kv sequential
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, blocks_k=blocks_k, heads=h
+        ),
+        grid=(g, blocks_q, blocks_k),
+        in_specs=specs(lambda i, j: i, lambda i, j: j),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda gi, i, j: (gi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, lqp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvalid, qg, kg, vg, key_bias8, dog, lseg, deltag)
+
+    # dk/dv: grid (g, kv blocks, q blocks), q sequential
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, blocks_q=blocks_q, heads=h
+        ),
+        grid=(g, blocks_k, blocks_q),
+        in_specs=specs(lambda i, j: j, lambda i, j: i),
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda gi, i, j: (gi, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, i, j: (gi, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, lkp, d), k.dtype),
+            jax.ShapeDtypeStruct((g, lkp, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvalid, qg, kg, vg, key_bias8, dog, lseg, deltag)
+
+    dq = dq.reshape(b, h, lqp, d)[:, :, :lq]
+    dk = dk.reshape(b, h, lkp, d)[:, :, :lk]
+    dv = dv.reshape(b, h, lkp, d)[:, :, :lk]
+    return dq, dk, dv
 
 
 def _einsum_reference(q, k, v, key_bias, sm_scale):
@@ -165,10 +559,19 @@ def _einsum_reference(q, k, v, key_bias, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _auto_blocks(lq, lk, d):
+def _packed_ok(h, d):
+    """Head-packing needs d | 128 and whole head groups."""
+    return d in (16, 32, 64) and h % (128 // d) == 0
+
+
+def _auto_blocks(lq, lk, d, packed=False):
     """Measured on v5e at the model's hot shapes (block-size sweeps):
-    - small head dims want wide kv blocks to amortize per-grid-step
-      overhead (fusion (1,8,5216,32): 512x2048 = 1.16 ms vs 512x512 = 2.28);
+    - small head dims on the packed-transposed path: 512x256 measured
+      0.77-0.80 ms vs 512x512's 0.79-0.82 at the fusion shape
+      (1,8,5216,32) -- and the per-head path's 1.29 ms;
+    - small head dims on the per-head path want wide kv blocks to amortize
+      per-grid-step overhead (fusion (1,8,5216,32): 512x2048 = 1.16 ms vs
+      512x512 = 2.28);
     - d=256 self-attention favors 512x1024 (tracker (8,1,5184^2,256):
       1.08 ms);
     - d=256 long-kv cross-attention favors TALL q blocks so each slot's
@@ -176,6 +579,8 @@ def _auto_blocks(lq, lk, d):
       cross (8,1,5184,36416,256): 11.4 ms at 1312x512 vs 11.8 at 512x1024;
       2624x512 measured 10.7 but compiles at ~131% of the 16 MB VMEM
       budget and OOMs depending on scheduling - not robust)."""
+    if packed:
+        return 512, 256
     if d <= 64:
         return 512, 2048
     if lk >= 4 * lq:
@@ -194,25 +599,43 @@ def flash_sdpa(q, k, v, key_bias, sm_scale=None, block_q=None, block_k=None,
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], q.shape[-1])
-    return _flash_fwd(q, k, v, key_bias, sm_scale, block_q or bq,
-                      block_k or bk, interpret)
+    h, d = q.shape[1], q.shape[-1]
+    packed = d < 128 and _packed_ok(h, d)
+    bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], d, packed)
+    fwd = _flash_fwd_packed if packed else _flash_fwd
+    return fwd(q, k, v, key_bias, sm_scale, block_q or bq,
+               block_k or bk, interpret)
 
 
 def _fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret):
-    out = flash_sdpa(q, k, v, key_bias, sm_scale, block_q, block_k, interpret)
-    return out, (q, k, v, key_bias)
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    h, d = q.shape[1], q.shape[-1]
+    packed = d < 128 and _packed_ok(h, d)
+    bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], d, packed)
+    fn = _flash_fwd_packed if packed else _flash_fwd
+    out, lse = fn(q, k, v, key_bias, sm_scale, block_q or bq, block_k or bk,
+                  interpret, return_lse=True)
+    return out, (q, k, v, key_bias, out, lse)
 
 
 def _bwd(sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v, key_bias = res
+    q, k, v, key_bias, out, lse = res
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _einsum_reference(q_, k_, v_, key_bias, sm_scale),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+    if os.environ.get("EFFICIENTSAM3_EINSUM_BWD"):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _einsum_reference(
+                q_, k_, v_, key_bias, sm_scale
+            ),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+    else:
+        dq, dk, dv = _flash_bwd(
+            q, k, v, key_bias, out, lse, g, sm_scale,
+            min(block_q or 512, 512), min(block_k or 512, 512), interpret,
+        )
     return dq, dk, dv, jnp.zeros_like(key_bias)
 
 
