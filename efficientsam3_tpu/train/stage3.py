@@ -32,11 +32,18 @@ class Stage3Config:
     grad_clip: float = 1.0
     warmup_steps: int = 1000
     timescale: int = 10000
+    # Reference stage 3 freezes everything except the student trunks
+    # (stage3/model.py:24-34) because the heads come pretrained. From-scratch
+    # runs (the overfit-to-quality proof, scripts/train_overfit_quality.py)
+    # have no pretrained heads to freeze — train_all=True puts the heads in
+    # the 'vision' group instead.
+    train_all: bool = False
 
 
-def param_labels(params):
+def param_labels(params, train_all: bool = False):
     """Label each param: 'vision' (student trunk), 'text' (text tower),
-    'frozen' (everything else — the frozen SAM3 heads)."""
+    'frozen' (everything else — the frozen SAM3 heads; 'vision' instead
+    when train_all)."""
     flat = traverse_util.flatten_dict(params)
     labels = {}
     for path in flat:
@@ -46,7 +53,7 @@ def param_labels(params):
         elif top == "text_encoder":
             labels[path] = "text"
         else:
-            labels[path] = "frozen"
+            labels[path] = "vision" if train_all else "frozen"
     return traverse_util.unflatten_dict(labels)
 
 
@@ -60,7 +67,7 @@ def inverse_sqrt_schedule(base_lr: float, warmup: int, timescale: int):
 
 
 def make_stage3_optimizer(cfg: Stage3Config, params):
-    labels = param_labels(params)
+    labels = param_labels(params, cfg.train_all)
 
     def group(lr):
         return optax.chain(

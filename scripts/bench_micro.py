@@ -59,7 +59,85 @@ def fusion_attention():
         pass
 
 
+def tracker_breakdown():
+    """Per-stage timing of the tracker frame step at the bench config
+    (72x72 grid, d=256, 8 object slots, all 7 memories valid)."""
+    import numpy as np
+
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
+    from efficientsam3_tpu.video.tracker import init_tracker_variables
+
+    _, tracker = build_efficientsam3_video_model(
+        backbone_type="efficientvit", model_name="b1",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=32,
+        dtype=jnp.bfloat16,
+    )
+    tvars = init_tracker_variables(tracker, jax.random.PRNGKey(0))
+    fs, d, md = tracker.feat_size, tracker.d_model, tracker.mem_dim
+    s_obj = 8
+
+    rs = np.random.RandomState(0)
+    pos = jnp.asarray(rs.rand(fs * fs, d), jnp.float32)
+    mem = jnp.asarray(
+        rs.rand(s_obj, tracker.num_maskmem, fs, fs, md), jnp.float32
+    )
+    tpos = jnp.zeros((s_obj, tracker.num_maskmem), jnp.int32)
+    mvalid = jnp.ones((s_obj, tracker.num_maskmem), bool)
+    ptrs = jnp.asarray(rs.rand(s_obj, tracker.max_obj_ptrs, d), jnp.float32)
+    tdiff = jnp.ones((s_obj, tracker.max_obj_ptrs), jnp.float32)
+    pvalid = jnp.ones((s_obj, tracker.max_obj_ptrs), bool)
+    s0 = jnp.asarray(rs.rand(s_obj, 4 * fs, 4 * fs, d // 8), jnp.float32)
+    s1 = jnp.asarray(rs.rand(s_obj, 2 * fs, 2 * fs, d // 4), jnp.float32)
+
+    def tok_of(seed):
+        return jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed),
+            (s_obj, fs * fs, d), jnp.float32,
+        )
+
+    def cond_sum(seed, v, pos, mem, tpos, mvalid, ptrs, tdiff, pvalid):
+        cond = tracker.apply(
+            v, tok_of(seed), pos, mem, tpos, mvalid, ptrs, tdiff, pvalid,
+            method=tracker.condition_features,
+        )
+        return jnp.sum(cond.astype(jnp.float32)) * 1e-6
+
+    bench_fn("condition_features (8 slots, 7 mem)", cond_sum,
+             (tvars, pos, mem, tpos, mvalid, ptrs, tdiff, pvalid))
+
+    def heads_sum(seed, v, s0, s1):
+        pix = tok_of(seed).reshape(s_obj, fs, fs, d)
+        coords = jnp.zeros((s_obj, 1, 2))
+        labels = -jnp.ones((s_obj, 1), jnp.int32)
+        heads = tracker.apply(
+            v, pix, coords, labels, (s0, s1), True,
+            method=tracker.forward_sam_heads,
+        )
+        return (
+            jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
+        )
+
+    bench_fn("forward_sam_heads (8 slots)", heads_sum, (tvars, s0, s1))
+
+    def mem_sum(seed, v):
+        tok = tok_of(seed)
+        hi = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(12), seed),
+            (s_obj, 1, tracker.image_size, tracker.image_size), jnp.float32,
+        )
+        m = tracker.apply(
+            v, tok, hi, jnp.ones((s_obj, 1)), False,
+            method=tracker.encode_memory,
+        )
+        return jnp.sum(m.astype(jnp.float32)) * 1e-6
+
+    bench_fn("encode_memory (8 slots)", mem_sum, (tvars,), n=16)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "fusion"
     if which == "fusion":
         fusion_attention()
+    elif which == "tracker":
+        tracker_breakdown()
