@@ -21,7 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from efficientsam3_tpu.agent import SegmentationAgent, openai_chat_client
+from efficientsam3_tpu.agent import (
+    SegmentationAgent,
+    agent_inference,
+    openai_chat_client,
+)
 from efficientsam3_tpu.build import build_efficientsam3_image_model
 from efficientsam3_tpu.models.geometry import Prompt
 from efficientsam3_tpu.processor import Sam3Processor
@@ -83,6 +87,43 @@ def main():
     else:
         print(f"best phrase: {result.phrase!r} after {result.iterations} "
               f"iterations, {len(result.scores)} detections")
+
+    # Full tool-call session (reference agent_core.agent_inference): the
+    # MLLM drives segment_phrase / examine_each_mask /
+    # select_masks_and_return over SoM-numbered renders. Offline, a
+    # scripted driver segments once, zoom-examines each mask (accepting
+    # all), and returns everything.
+    state = {"n": 0}
+
+    def tool_llm(messages):
+        if "verification" in messages[0]["content"]:
+            return "<verdict>Accept</verdict>"
+        state["n"] += 1
+        if state["n"] == 1:
+            return ('<tool>{"name": "segment_phrase", "parameters": '
+                    '{"text_prompt": "dog"}}</tool>')
+        texts = [c.get("text", "") for m in messages
+                 for c in (m["content"] if isinstance(m["content"], list) else [])
+                 if isinstance(c, dict)]
+        if any("produced no masks" in t for t in texts):
+            return '<tool>{"name": "report_no_mask", "parameters": {}}</tool>'
+        if any("segment_phrase produced" in t for t in texts):
+            return '<tool>{"name": "examine_each_mask", "parameters": {}}</tool>'
+        return ('<tool>{"name": "select_masks_and_return", "parameters": '
+                '{"final_answer_masks": [1, 2, 3]}}</tool>')
+
+    messages, final, rendered = agent_inference(
+        image, goal, tool_llm if not os.environ.get("OPENAI_BASE_URL") else llm,
+        processor=processor,
+    )
+    print(f"tool session: {len(final['masks'])} final masks")
+    try:
+        from PIL import Image as PILImage
+
+        PILImage.fromarray(rendered).save("/tmp/agent_som.png")
+        print("SoM render saved to /tmp/agent_som.png")
+    except ImportError:
+        pass
 
 
 if __name__ == "__main__":

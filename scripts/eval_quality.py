@@ -76,7 +76,7 @@ def oracle_metrics():
     return out
 
 
-def model_metrics(checkpoint=None):
+def model_metrics(checkpoint=None, trained=None):
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +100,7 @@ def model_metrics(checkpoint=None):
     if checkpoint:
         res, embed, ctx, name = 1008, 72, 32, "m"
     else:
+        # the exact config scripts/train_overfit_quality.py trains
         res, embed, ctx, name = 112, 8, 16, "b0"
 
     model, tracker = build_efficientsam3_video_model(
@@ -129,6 +130,16 @@ def model_metrics(checkpoint=None):
         variables = {"params": params, "batch_stats": stats}
         tvars = {"params": convert_tracker_core(sd)[0]}
         weights = os.path.basename(checkpoint)
+    elif trained:
+        from efficientsam3_tpu.utils.checkpoint import load_checkpoint
+
+        variables, det_step = load_checkpoint(
+            os.path.join(trained, "detector"), target=variables
+        )
+        tvars, _ = load_checkpoint(
+            os.path.join(trained, "tracker"), target=tvars
+        )
+        weights = f"trained ({trained} @ step {det_step})"
 
     proc = Sam3Processor(model, variables, resolution=res, context_length=ctx)
     images, gt, pairs = make_shapes_fixture(num_images=8, size=112, seed=3)
@@ -178,6 +189,8 @@ def model_metrics(checkpoint=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--trained", default=None,
+                    help="dir written by scripts/train_overfit_quality.py")
     ap.add_argument("--out", default="QUALITY_r2.json")
     ap.add_argument("--skip-model", action="store_true")
     args = ap.parse_args()
@@ -185,7 +198,7 @@ def main():
     result = {"fixture": "synthetic shapes (eval/fixtures.py)",
               "harness_oracle": oracle_metrics()}
     if not args.skip_model:
-        result["model"] = model_metrics(args.checkpoint)
+        result["model"] = model_metrics(args.checkpoint, args.trained)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
