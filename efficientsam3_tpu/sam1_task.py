@@ -10,6 +10,7 @@ box/point-prompt mIoU eval (reference eval/eval_coco.py).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -44,6 +45,7 @@ class InteractiveImagePredictor:
             )
 
         self._predict_jit = jax.jit(_predict, static_argnums=(6,))
+        self._predict_batch_jit = None  # built lazily by predict_batch
         self._state = None
 
     @property
@@ -117,3 +119,75 @@ class InteractiveImagePredictor:
         masks = np.asarray(resize_bilinear(low, (h, w)))[0]
         ious = np.asarray(heads["ious"])[0]
         return masks > 0, ious, np.asarray(low)[0]
+
+    def predict_batch(self, point_coords: np.ndarray,
+                      stability_offset: float = 1.0):
+        """Batched single-point prompting against the cached image
+        embedding — the AMG hot path (reference predict_torch over point
+        batches, automatic_mask_generator.py:267-283).
+
+        point_coords: (P, 2) MODEL-resolution pixels. Returns device
+        arrays (fetch only what survives filtering):
+          low       (P*3, hl, wl) f32 low-res mask logits
+          iou       (P*3,) predicted IoUs
+          stability (P*3,) stability scores (computed on device)
+          boxes     (P*3, 4) xyxy in low-res pixel coords
+          empty     (P*3,) True where the thresholded mask is empty
+        """
+        if self._state is None:
+            raise ValueError("call set_image first")
+        if self._predict_batch_jit is None:
+            core = self.core
+
+            @partial(jax.jit, static_argnums=(5,))
+            def _batch(v, tokens, s0, s1, coords, n_pts, off=1.0):
+                fs, d = core.feat_size, core.d_model
+                toks = jnp.broadcast_to(tokens, (n_pts,) + tokens.shape[1:])
+                s0b = jnp.broadcast_to(s0, (n_pts,) + s0.shape[1:])
+                s1b = jnp.broadcast_to(s1, (n_pts,) + s1.shape[1:])
+                cond = core.apply(v, toks, method=core.no_mem_features)
+                pix = cond.reshape(n_pts, fs, fs, d)
+                # one prompt point + the single pad slot (see predict())
+                pts = jnp.concatenate(
+                    [coords[:, None, :], jnp.zeros((n_pts, 1, 2))], axis=1
+                )
+                labs = jnp.concatenate(
+                    [jnp.ones((n_pts, 1), jnp.int32),
+                     -jnp.ones((n_pts, 1), jnp.int32)], axis=1,
+                )
+                heads = core.apply(
+                    v, pix, pts, labs, (s0b, s1b), True,
+                    method=core.forward_sam_heads,
+                )
+                low = heads["low_res_multimasks"]
+                P, K, hl, wl = low.shape
+                flat = low.reshape(P * K, hl, wl).astype(jnp.float32)
+                iou = heads["ious"].reshape(P * K)
+                hi = (flat > off).sum((-1, -2)).astype(jnp.float32)
+                lo = (flat > -off).sum((-1, -2)).astype(jnp.float32)
+                stability = hi / jnp.maximum(lo, 1.0)
+                fg = flat > 0
+                any_x = fg.any(axis=1)
+                any_y = fg.any(axis=2)
+                xs = jnp.arange(wl)
+                ys = jnp.arange(hl)
+                big = jnp.int32(1 << 20)
+                x0 = jnp.min(jnp.where(any_x, xs, big), axis=1)
+                x1 = jnp.max(jnp.where(any_x, xs, -1), axis=1) + 1
+                y0 = jnp.min(jnp.where(any_y, ys, big), axis=1)
+                y1 = jnp.max(jnp.where(any_y, ys, -1), axis=1) + 1
+                empty = ~fg.any((-1, -2))
+                boxes = jnp.stack(
+                    [jnp.where(empty, 0, x0), jnp.where(empty, 0, y0),
+                     jnp.where(empty, 0, x1), jnp.where(empty, 0, y1)],
+                    axis=-1,
+                ).astype(jnp.float32)
+                return flat, iou, stability, boxes, empty
+
+            self._predict_batch_jit = _batch
+        st = self._state
+        coords = jnp.asarray(point_coords, jnp.float32)
+        return self._predict_batch_jit(
+            self.variables, st["tokens"], st["s0"], st["s1"], coords,
+            int(coords.shape[0]), jnp.float32(stability_offset),
+        )

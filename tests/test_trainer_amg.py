@@ -48,6 +48,64 @@ def test_trainer_loop_resume_and_partial_ckpt(tmp_path):
     assert "decoder" not in state["variables"]["params"]
 
 
+class FakeBatchPredictor:
+    """predict_batch-contract fake (sam1_task.InteractiveImagePredictor):
+    'detects' the bright square in the current crop iff its extent in
+    model pixels is >= min_model_px — mimicking how small objects only
+    resolve once a tighter crop magnifies them."""
+
+    input_size = 64
+    low_res = 32
+
+    def __init__(self, min_model_px=8):
+        self.min_model_px = min_model_px
+
+    def set_image(self, image):
+        self.crop = np.asarray(image)
+        self.ch, self.cw = image.shape[:2]
+        bright = image[..., 0] > 200
+        ys, xs = np.nonzero(bright)
+        self.obj = (
+            (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+            if xs.size
+            else None
+        )
+
+    def predict_batch(self, coords, stability_offset=1.0):
+        r, hl = self.input_size, self.low_res
+        P = len(coords)
+        low = np.full((P * 3, hl, hl), -8.0, np.float32)
+        iou = np.full((P * 3,), 0.05, np.float32)
+        detectable = (
+            self.obj is not None
+            and (self.obj[2] - self.obj[0]) * r / self.cw >= self.min_model_px
+        )
+        if detectable:
+            x0, y0, x1, y1 = self.obj
+            lx0, ly0 = int(x0 * hl / self.cw), int(y0 * hl / self.ch)
+            lx1, ly1 = (
+                max(int(x1 * hl / self.cw), lx0 + 1),
+                max(int(y1 * hl / self.ch), ly0 + 1),
+            )
+            for p in range(P):
+                cx, cy = coords[p][0] * self.cw / r, coords[p][1] * self.ch / r
+                if x0 <= cx < x1 and y0 <= cy < y1:
+                    low[p * 3 : p * 3 + 3, ly0:ly1, lx0:lx1] = 8.0
+                    iou[p * 3 : p * 3 + 3] = [0.95, 0.93, 0.9]
+        stab = (
+            (low > stability_offset).reshape(P * 3, -1).sum(-1)
+            / np.maximum((low > -stability_offset).reshape(P * 3, -1).sum(-1), 1)
+        ).astype(np.float32)
+        fg = low > 0
+        boxes = np.zeros((P * 3, 4), np.float32)
+        empty = ~fg.any((-1, -2))
+        for i in range(P * 3):
+            ys, xs = np.nonzero(fg[i])
+            if xs.size:
+                boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        return jnp.asarray(low), iou, stab, boxes, empty
+
+
 def test_automatic_mask_generator_grid_and_records():
     from efficientsam3_tpu.automatic_mask_generator import (
         AutomaticMaskGenerator,
@@ -58,31 +116,83 @@ def test_automatic_mask_generator_grid_and_records():
     assert grid.shape == (16, 2)
     assert 0 < grid.min() and grid.max() < 1
 
-    class FakePredictor:
-        """Returns a disk mask around the prompt point."""
-
-        def set_image(self, image):
-            self.hw = image.shape[:2]
-
-        def predict(self, point_coords, point_labels, multimask_output=True):
-            h, w = self.hw
-            yy, xx = np.mgrid[:h, :w]
-            cx, cy = point_coords[0]
-            m = (xx - cx) ** 2 + (yy - cy) ** 2 < 36
-            masks = np.stack([m, m, m])
-            logits = np.where(masks, 8.0, -8.0)[:, ::2, ::2]
-            return masks, np.asarray([0.95, 0.9, 0.89]), logits
-
-    gen = AutomaticMaskGenerator(
-        FakePredictor(), points_per_side=4, pred_iou_thresh=0.9,
-        stability_score_thresh=0.5, nms_iou_thresh=0.5,
-    )
     img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 255  # big object: visible without crops
+    gen = AutomaticMaskGenerator(
+        FakeBatchPredictor(), points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=0.9, stability_score_thresh=0.5, nms_iou_thresh=0.5,
+    )
     recs = gen.generate(img)
-    assert len(recs) >= 4  # grid points far apart survive NMS
+    assert len(recs) >= 1
     for r in recs:
-        assert {"segmentation", "area", "bbox", "predicted_iou"} <= set(r)
+        assert {
+            "segmentation", "area", "bbox", "predicted_iou",
+            "stability_score", "point_coords", "crop_box",
+        } <= set(r)
         assert r["area"] > 0
+    # mask localizes the object in full-image coords
+    from efficientsam3_tpu.eval.coco_format import ann_to_mask
+
+    m = ann_to_mask(recs[0], 64, 64)
+    inter = (m & (img[..., 0] > 200)).sum()
+    assert inter / m.sum() > 0.5
+
+
+def test_amg_crop_pyramid_finds_small_object():
+    """A small object resolves only under the crop pyramid: invisible to
+    the full-image pass, found with crop_n_layers=2 (reference
+    automatic_mask_generator.py crop_n_layers semantics)."""
+    from efficientsam3_tpu.automatic_mask_generator import (
+        AutomaticMaskGenerator,
+    )
+
+    img = np.zeros((384, 384, 3), np.uint8)
+    img[198:222, 198:222] = 255  # 24 px object in a 384 px image
+
+    def make(crop_n_layers):
+        return AutomaticMaskGenerator(
+            FakeBatchPredictor(min_model_px=8),
+            points_per_side=16, points_per_batch=64,
+            pred_iou_thresh=0.9, stability_score_thresh=0.5,
+            nms_iou_thresh=0.5, crop_n_layers=crop_n_layers,
+        )
+
+    assert make(0).generate(img) == []
+    recs = make(2).generate(img)
+    assert len(recs) >= 1
+    x, y, w, h = recs[0]["bbox"]
+    # found box overlaps the object in full-image coordinates
+    assert x < 222 and x + w > 198 and y < 222 and y + h > 198
+    assert recs[0]["crop_box"][2] - recs[0]["crop_box"][0] < 384
+
+
+def test_amg_crop_box_generation():
+    from efficientsam3_tpu.automatic_mask_generator import generate_crop_boxes
+
+    boxes, layers = generate_crop_boxes((300, 400), 2, 512 / 1500)
+    assert boxes[0] == [0, 0, 400, 300] and layers[0] == 0
+    assert layers.count(1) == 4 and layers.count(2) == 16
+    for b in boxes:
+        assert 0 <= b[0] < b[2] <= 400 and 0 <= b[1] < b[3] <= 300
+    # layer-1 neighbours overlap
+    l1 = [b for b, l in zip(boxes, layers) if l == 1]
+    assert l1[0][2] > l1[1][0]
+
+
+def test_amg_small_region_postprocess():
+    from efficientsam3_tpu.automatic_mask_generator import (
+        _remove_small_regions,
+    )
+
+    m = np.zeros((32, 32), bool)
+    m[4:28, 4:28] = True
+    m[10:12, 10:12] = False  # small hole
+    m[30:32, 30:32] = True  # small island
+    out, changed = _remove_small_regions(m, 16, "holes")
+    assert changed and out[10, 10]
+    out2, changed2 = _remove_small_regions(out, 16, "islands")
+    assert changed2 and not out2[30, 30]
+    assert out2[5, 5]
 
 
 def test_trainer_preemption_checkpoint(tmp_path):
@@ -150,3 +260,48 @@ def test_trainer_gradient_accumulation():
     # two real updates, each -lr * mean(micro grads)
     expect = -lr * (np.mean(gs[:4]) + np.mean(gs[4:]))
     np.testing.assert_allclose(float(v["params"]["w"]), expect, rtol=1e-6)
+
+
+def test_predict_batch_matches_single_predict():
+    """predict_batch (the AMG hot path) agrees with per-point predict on a
+    tiny real TrackerCore: same low-res logits and IoUs."""
+    from efficientsam3_tpu.sam1_task import InteractiveImagePredictor
+    from efficientsam3_tpu.video.tracker import TrackerCore
+
+    core = TrackerCore(
+        image_size=64, backbone_stride=8, d_model=32, mem_dim=8,
+        num_maskmem=3, max_obj_ptrs=4,
+    )
+    fs = core.feat_size
+    rng = jax.random.PRNGKey(0)
+    s0 = jax.random.normal(rng, (1, 4 * fs, 4 * fs, 4)) * 0.1
+    s1 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 2 * fs, 2 * fs, 8)) * 0.1
+    tokens = jax.random.normal(jax.random.fold_in(rng, 2), (1, fs * fs, 32)) * 0.1
+    variables = core.init(
+        rng,
+        jax.random.normal(rng, (1, fs, fs, 32)),
+        jnp.zeros((1, 2, 2)), -jnp.ones((1, 2), jnp.int32), (s0, s1), True,
+        method=core.forward_sam_heads,
+    )
+    v2 = core.init(rng, tokens, method=core.no_mem_features)
+    variables = {"params": {**v2["params"], **variables["params"]}}
+
+    pred = InteractiveImagePredictor(core, variables, encode_frame=None)
+    pred._state = {"tokens": tokens, "s0": s0, "s1": s1, "orig_hw": (64, 64)}
+
+    pts = np.array([[10.0, 12.0], [40.0, 50.0], [32.0, 32.0]], np.float32)
+    low_b, iou_b, stab_b, boxes_b, empty_b = pred.predict_batch(pts)
+    low_b = np.asarray(low_b)
+    assert low_b.shape[0] == 9 and iou_b.shape == (9,)
+
+    for p in range(3):
+        _, ious, low = pred.predict(
+            point_coords=pts[p : p + 1] , point_labels=np.asarray([1]),
+            multimask_output=True,
+        )
+        np.testing.assert_allclose(
+            low_b[p * 3 : p * 3 + 3], np.asarray(low), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou_b)[p * 3 : p * 3 + 3], ious, atol=2e-5
+        )
