@@ -112,5 +112,9 @@ def stage3_train_step(model, tx, variables, opt_state, batch):
     updates, opt_state = tx.update(grads, opt_state, variables["params"])
     new_params = optax.apply_updates(variables["params"], updates)
     new_vars = dict(variables, params=new_params, **mutated)
-    metrics = {"loss": loss, **{f"loss_{k}": v for k, v in parts.items()}}
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        **{f"loss_{k}": v for k, v in parts.items()},
+    }
     return new_vars, opt_state, metrics

@@ -132,12 +132,12 @@ def train_detector(model, variables, batch, steps, scan_len, lr):
                 },
             }
             v, o, m = stage3_train_step(model, tx, v, o, full)
-            return (v, o), m["loss"]
+            return (v, o), m
 
-        (variables, opt_state), losses = jax.lax.scan(
+        (variables, opt_state), metrics = jax.lax.scan(
             body, (variables, opt_state), jnp.arange(scan_len)
         )
-        return variables, opt_state, losses
+        return variables, opt_state, metrics
 
     args = (
         batch["images"], batch["tokens"], batch["targets"]["boxes"],
@@ -145,16 +145,30 @@ def train_detector(model, variables, batch, steps, scan_len, lr):
     )
     t0 = time.time()
     for step0 in range(0, steps, scan_len):
-        variables, opt_state, losses = run_chunk(
+        variables, opt_state, metrics = run_chunk(
             variables, opt_state, step0, *args
         )
-        ls = np.asarray(losses)
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        ls = metrics["loss"]
         print(
             f"[detector] step {step0 + scan_len:5d}/{steps} "
             f"loss {ls[-1]:.4f} (chunk mean {ls.mean():.4f}) "
+            f"gnorm {metrics['grad_norm'][-1]:.2f} "
             f"{time.time() - t0:.0f}s",
             flush=True,
         )
+        if not np.isfinite(ls).all():
+            first = int(np.argmax(~np.isfinite(ls)))
+            bad = {
+                k: float(v[first])
+                for k, v in metrics.items()
+                if not np.isfinite(v[first])
+            }
+            raise FloatingPointError(
+                f"non-finite loss at step {step0 + first}: components "
+                f"{bad}; previous-step parts "
+                f"{({k: round(float(v[max(first - 1, 0)]), 4) for k, v in metrics.items()})}"
+            )
     return variables
 
 

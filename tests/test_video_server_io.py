@@ -1,6 +1,7 @@
 """Video IO + predictor-server session tests (tiny tracker)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -96,3 +97,52 @@ def test_async_loader_offload_and_bounded_window(tmp_path):
     # evicted frame re-decodes synchronously and matches the original
     again = loader[0]
     np.testing.assert_array_equal(again, first)
+
+
+def _write_mp4(path, n_frames=8, h=48, w=64):
+    cv2 = pytest.importorskip("cv2")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (w, h))
+    assert wr.isOpened()
+    for i in range(n_frames):
+        fr = np.zeros((h, w, 3), np.uint8)
+        fr[:, :, 2] = i * 25  # R channel ramps per frame (BGR writer)
+        wr.write(fr)
+    wr.release()
+
+
+def test_mp4_round_trip(tmp_path):
+    """mp4 decode path (reference io_utils.py:29 cv2 loader): synthesize,
+    load whole, check frame count + per-frame content + options."""
+    from efficientsam3_tpu.video.io import load_video_frames
+
+    path = str(tmp_path / "clip.mp4")
+    _write_mp4(path, n_frames=8)
+    frames = load_video_frames(path)
+    assert frames.shape == (8, 48, 64, 3) and frames.dtype == np.uint8
+    # R ramp survives the codec (lossy: generous tolerance)
+    r_means = frames[..., 0].mean(axis=(1, 2))
+    assert abs(r_means[0] - 0) < 16 and abs(r_means[7] - 175) < 16
+    assert np.all(np.diff(r_means) > 0)
+
+    limited = load_video_frames(path, max_frames=3, resolution=32)
+    assert limited.shape == (3, 32, 32, 3)
+
+    fp16 = load_video_frames(path, max_frames=2, offload_to_fp16=True)
+    assert fp16.dtype == np.float16 and fp16.max() <= 1.0
+
+
+def test_mp4_streaming_reader(tmp_path):
+    """Mp4FrameReader (TorchCodec-streaming analog, io_utils.py:486):
+    in-order access with bounded keep_window, eviction raises IndexError."""
+    from efficientsam3_tpu.video.io import Mp4FrameReader
+
+    path = str(tmp_path / "clip.mp4")
+    _write_mp4(path, n_frames=10)
+    reader = Mp4FrameReader(path, keep_window=3, prefetch=2)
+    means = [reader[i][..., 0].mean() for i in range(10)]
+    assert np.all(np.diff(means) > 0)
+    assert reader.num_frames_decoded == 10
+    with pytest.raises(IndexError):
+        reader[0]  # evicted (keep_window=3)
+    with pytest.raises(IndexError):
+        reader[10]  # past the end
