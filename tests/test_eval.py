@@ -127,3 +127,48 @@ def test_coco_map_unmatched_det_outside_range_ignored():
     out = ev.summarize()
     assert abs(out["AP_small"] - 1.0) < 1e-9, out
     assert out["AP"] < 1.0  # in 'all', the big det is a real FP
+
+
+def test_coco_map_vs_recorded_pycocotools():
+    """Cross-check against a RECORDED pycocotools run. The fixture is
+    produced by scripts/make_pycoco_fixture.py in an environment that has
+    pycocotools (not this image — skipped until the file is checked in);
+    until then coco_map's fidelity rests on the hand-derived tests above.
+    Reference oracle: sam3/sam3/eval/coco_eval.py:42."""
+    import json
+    import os
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "pycoco_oracle.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip("recorded pycocotools fixture not generated yet")
+    fx = json.load(open(path))
+
+    from efficientsam3_tpu.eval.coco_format import rle_to_mask
+    from efficientsam3_tpu.eval.coco_map import CocoMAPEvaluator
+
+    ev = CocoMAPEvaluator("segm")
+    gt_by_img = {}
+    for a in fx["gt"]["annotations"]:
+        gt_by_img.setdefault(a["image_id"], []).append(a)
+    dt_by_img = {}
+    for d in fx["dt"]:
+        dt_by_img.setdefault(d["image_id"], []).append(d)
+    for img in fx["gt"]["images"]:
+        gts = gt_by_img.get(img["id"], [])
+        dts = dt_by_img.get(img["id"], [])
+        ev.add_image(
+            1,
+            [d["score"] for d in dts],
+            np.stack([rle_to_mask(d["segmentation"]) for d in dts]),
+            np.stack([rle_to_mask(g["segmentation"]) for g in gts]),
+            gt_iscrowd=[g["iscrowd"] for g in gts],
+            gt_areas=[g["area"] for g in gts],
+        )
+    m = ev.summarize()
+    for k, v in fx["metrics"].items():
+        if k in m:
+            np.testing.assert_allclose(m[k], v, atol=1e-6, err_msg=k)
