@@ -53,7 +53,20 @@ def _focal_bwd(alpha, gamma, res, g):
     dce_dx = p - targets
     # d p_t/dx = (2*targets - 1) * p * (1 - p)
     dpt_dx = (2 * targets - 1) * p * (1 - p)
-    dloss = one_m**gamma * dce_dx - gamma * one_m ** (gamma - 1) * dpt_dx * ce
+    if gamma == 0.0:
+        # the modulating term vanishes analytically; computing it anyway
+        # yields 0 * one_m**(-1) = 0 * inf = NaN once a logit saturates
+        # (p_t == 1.0 exactly in fp32, |logit| >~ 17) — this was the
+        # deterministic grad-NaN in the stage-3 overfit run.
+        dloss = dce_dx
+    else:
+        # guard one_m**(gamma-1) for gamma < 1 at one_m == 0: ce -> 0 there,
+        # so the true limit of the term is 0; clamping keeps it finite.
+        one_m_safe = jnp.maximum(one_m, jnp.finfo(p.dtype).tiny)
+        dloss = (
+            one_m**gamma * dce_dx
+            - gamma * one_m_safe ** (gamma - 1.0) * dpt_dx * ce
+        )
     if alpha >= 0:
         alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
         dloss = alpha_t * dloss

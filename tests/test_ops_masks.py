@@ -125,6 +125,36 @@ def test_focal_loss_matches_torch():
     np.testing.assert_allclose(ggrad, lt.grad.numpy(), atol=1e-5)
 
 
+def test_focal_loss_saturated_grad_finite():
+    """Saturated logits (p_t == 1.0 exactly in fp32) must give finite grads.
+
+    gamma=0 (the presence-loss config) used to produce 0 * one_m**(-1) =
+    0 * inf = NaN in the custom backward — the deterministic grad-NaN that
+    killed the stage-3 overfit run at step 450. gamma in (0, 2) exercises
+    the one_m**(gamma-1) guard."""
+    logits = jnp.asarray([40.0, -40.0, 17.5, 0.3, -17.5], jnp.float32)
+    targets = jnp.asarray([1.0, 0.0, 1.0, 1.0, 0.0], jnp.float32)
+    for gamma in (0.0, 0.5, 1.6, 2.0):
+        fn = jax.jit(
+            lambda lg, g=gamma: sigmoid_focal_loss(lg, targets, 0.5, g).sum()
+        )
+        grad = np.asarray(jax.grad(fn)(logits))
+        assert np.isfinite(grad).all(), (gamma, grad)
+        # backward must still match torch autograd away from saturation
+        lt = torch.from_numpy(np.asarray(logits)).requires_grad_(True)
+        tt = torch.from_numpy(np.asarray(targets))
+        p = torch.sigmoid(lt)
+        ce = torch.nn.functional.binary_cross_entropy_with_logits(
+            lt, tt, reduction="none"
+        )
+        p_t = p * tt + (1 - p) * (1 - tt)
+        want = (0.5 * tt + 0.5 * (1 - tt)) * ce * (1 - p_t) ** gamma
+        want.sum().backward()
+        tg = lt.grad.numpy()
+        ok = np.isfinite(tg)  # torch itself NaNs at the saturated entries
+        np.testing.assert_allclose(grad[ok], tg[ok], atol=1e-6)
+
+
 def test_dice_loss():
     logits = jnp.asarray(RNG.standard_normal((2, 8, 8)).astype(np.float32))
     targets = jnp.asarray((RNG.random((2, 8, 8)) > 0.5).astype(np.float32))
