@@ -178,6 +178,39 @@ def main():
     )
     extras["batch8_throughput_img_s"] = round(8 / sec8, 1)
 
+    # ---- per-stage breakdown (VERDICT r2 #6): cumulative prefixes of the
+    # grounding program, differenced into stage costs. Each prefix is its
+    # own scanned program; unused later stages dead-code-eliminate.
+    def prefix_sum(seed, v, what):
+        x = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(7), seed),
+            (1, 1008, 1008, 3), jnp.float32,
+        )
+        if what == "trunk":
+            r = model.apply(v, x, method=lambda m, a: m.trunk(a, train=False))
+            return jnp.sum(r.astype(jnp.float32)) * 1e-6
+        if what == "image":
+            r = model.apply(v, x, method=model.encode_image)
+            return sum(jnp.sum(f.astype(jnp.float32)) for f in r["fpn"]) * 1e-6
+        out = model.apply(v, x, tokens, prompt, stage=what)
+        acc = jnp.sum(out["encoder_hidden_states"].astype(jnp.float32)) * 1e-6
+        if what == "decoder":
+            acc += jnp.sum(out["pred_logits"].astype(jnp.float32))
+        return acc
+
+    cum = {}
+    for what, n in (("trunk", 16), ("image", 16), ("fusion", 8), ("decoder", 8)):
+        cum[what] = two_point_step_time(
+            jax, jnp, lambda s, v, w=what: prefix_sum(s, v, w), n, (variables,)
+        ) * 1e3
+    extras["stage_ms"] = {
+        "trunk": round(cum["trunk"], 2),
+        "neck": round(cum["image"] - cum["trunk"], 2),
+        "text_geo_fusion": round(cum["fusion"] - cum["image"], 2),
+        "decoder_scoring": round(cum["decoder"] - cum["fusion"], 2),
+        "seg_head": round(ms - cum["decoder"], 2),
+    }
+
     # ---- tracker step ms/frame (flagship 72 grid, 8 object slots)
     from efficientsam3_tpu.video.tracker import init_tracker_variables
 

@@ -123,8 +123,14 @@ class Sam3ImageModel(nn.Module):
         prompt: Prompt,
         *,
         train: bool = False,
+        stage: Optional[str] = None,
     ):
-        """Text+geometry grounding -> detection outputs (static shapes)."""
+        """Text+geometry grounding -> detection outputs (static shapes).
+
+        stage: early-return point for per-stage profiling (bench.py):
+        'fusion' stops after the fusion encoder, 'decoder' after the
+        decoder+scoring/boxes; unused stages dead-code-eliminate out of
+        the jitted program."""
         b = fpn[-1].shape[0]
         h, w = fpn[-1].shape[1:3]
         img_tokens = fpn[-1].reshape(b, h * w, self.d_model)
@@ -141,6 +147,9 @@ class Sam3ImageModel(nn.Module):
         memory = self.fusion_encoder(
             img_tokens, img_pos, full_prompt, full_mask, train=train
         )
+
+        if stage == "fusion":
+            return {"encoder_hidden_states": memory}
 
         # decoder (hot loop 2)
         dec = self.decoder(
@@ -161,6 +170,13 @@ class Sam3ImageModel(nn.Module):
 
         delta = self.decoder.bbox_embed(hs)
         boxes = jax.nn.sigmoid(delta + inverse_sigmoid(refs))
+
+        if stage == "decoder":
+            return {
+                "pred_logits": logits[-1],
+                "pred_boxes": boxes[-1],
+                "encoder_hidden_states": memory,
+            }
 
         # segmentation head on last-layer queries
         seg = self.seg_head(
@@ -196,11 +212,12 @@ class Sam3ImageModel(nn.Module):
             out["all_presence_logits"] = dec["presence_logits"]
         return out
 
-    def __call__(self, images, tokens, prompt: Prompt, *, train: bool = False):
+    def __call__(self, images, tokens, prompt: Prompt, *, train: bool = False,
+                 stage: Optional[str] = None):
         """Full forward: encode image + text, then ground."""
         img_out = self.encode_image(images, train=train)
         text_memory, text_mask = self.encode_text(tokens, train=train)
         return self.ground(
             img_out["fpn"], img_out["pos"], text_memory, text_mask, prompt,
-            train=train,
+            train=train, stage=stage,
         )
