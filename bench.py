@@ -260,6 +260,58 @@ def main():
         two_point_step_time(jax, jnp, track_sum, 32, targs) * 1e3, 3
     )
 
+    # ---- cached-bank tracker step (TrackerPredictor's default path):
+    # per-frame work = bank stack + cached memory attention + SAM heads +
+    # encode_memory + the NEW entry's k/v projection (cache fill); the
+    # ~36k memory tokens' per-layer k/v projections are NOT repeated
+    n_mem = tracker.num_maskmem
+    pe = jax.jit(
+        lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv)
+    )
+    k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
+    kv_delta = jax.jit(
+        lambda v: tracker.apply(v, method=tracker.tpos_k_delta)
+    )(tvars)
+
+    def track_cached_sum(seed, v, pos, k_es, v_es, tpos, mvalid, ptrs,
+                         tdiff, pvalid, s0, s1, delta):
+        tok = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed),
+            (s_obj, fs * fs, d), jnp.float32,
+        )
+        k_bank = jnp.stack(k_es, axis=2)
+        v_bank = jnp.stack(v_es, axis=2)
+        cond = tracker.apply(
+            v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
+            delta, method=tracker.condition_features_cached,
+        )
+        pix = cond.reshape(s_obj, fs, fs, d)
+        coords = jnp.zeros((s_obj, 1, 2))
+        labels = -jnp.ones((s_obj, 1), jnp.int32)
+        heads = tracker.apply(
+            v, pix, coords, labels, (s0, s1), True,
+            method=tracker.forward_sam_heads,
+        )
+        mem_new = tracker.apply(
+            v, tok, heads["high_res_masks"], heads["object_score_logits"],
+            False, method=tracker.encode_memory,
+        )
+        k_new, v_new = tracker.apply(
+            v, mem_new, method=tracker.encode_memory_kv
+        )
+        return (
+            jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
+            + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
+            + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
+        )
+
+    tcargs = (tvars, pos, tuple(k_entries), tuple(v_entries), tpos, mvalid,
+              ptrs, tdiff, pvalid, s0, s1, kv_delta)
+    extras["tracker_step_cached_ms_frame"] = round(
+        two_point_step_time(jax, jnp, track_cached_sum, 32, tcargs) * 1e3, 3
+    )
+
     # ---- SAM1-task point prompt encode+decode (the stated north star is
     # "EV-M point-prompt encode+decode < 10 ms/frame on one v5e chip":
     # student trunk -> SAM2 neck -> no-mem conditioning -> SAM heads; the

@@ -188,6 +188,11 @@ class Attention(nn.Module):
     Mirrors reference sam3/sam3/sam/transformer.py:185 — separate
     q/k/v/out linear layers, optional kv input dim, internal dim =
     embedding_dim // downsample_rate.
+
+    setup-style (not @nn.compact) so subclasses can expose extra entry
+    points over the same parameters — the tracker's cached memory
+    cross-attention projects the bank's k/v once at encode time
+    (RoPEAttention.project_kv) and attends per frame (attend_projected).
     """
 
     embedding_dim: int
@@ -201,22 +206,22 @@ class Attention(nn.Module):
     def internal_dim(self):
         return self.embedding_dim // self.downsample_rate
 
+    def setup(self):
+        self.q_proj = nn.Dense(self.internal_dim, dtype=self.dtype)
+        self.k_proj = nn.Dense(self.internal_dim, dtype=self.dtype)
+        self.v_proj = nn.Dense(self.internal_dim, dtype=self.dtype)
+        self.out_proj = nn.Dense(self.embedding_dim, dtype=self.dtype)
+
     def project(self, q, k, v):
-        qp = nn.Dense(self.internal_dim, dtype=self.dtype, name="q_proj")(q)
-        kp = nn.Dense(self.internal_dim, dtype=self.dtype, name="k_proj")(k)
-        vp = nn.Dense(self.internal_dim, dtype=self.dtype, name="v_proj")(v)
         return (
-            split_heads(qp, self.num_heads),
-            split_heads(kp, self.num_heads),
-            split_heads(vp, self.num_heads),
+            split_heads(self.q_proj(q), self.num_heads),
+            split_heads(self.k_proj(k), self.num_heads),
+            split_heads(self.v_proj(v), self.num_heads),
         )
 
     def output(self, o):
-        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(
-            merge_heads(o)
-        )
+        return self.out_proj(merge_heads(o))
 
-    @nn.compact
     def __call__(self, q, k, v):
         qh, kh, vh = self.project(q, k, v)
         return self.output(sdpa(qh, kh, vh))
@@ -271,30 +276,55 @@ class RoPEAttention(Attention):
     rope_k_repeat: bool = False
     feat_sizes: tuple = (64, 64)
 
-    @nn.compact
-    def __call__(self, q, k, v, num_k_exclude_rope: int = 0, key_padding_mask=None):
-        qh, kh, vh = self.project(q, k, v)
-        n_q = qh.shape[-2]
+    def _rope_tables(self, grid_tokens: int):
         head_dim = self.internal_dim // self.num_heads
-        side = int(round(math.sqrt(n_q)))
-        cos, sin = compute_axial_rope_cos_sin(head_dim, side, side, self.rope_theta)
-        qh = apply_rope(qh, cos, sin)
+        side = int(round(math.sqrt(grid_tokens)))
+        return compute_axial_rope_cos_sin(head_dim, side, side, self.rope_theta)
+
+    def project_kv(self, k, v, grid_tokens: int, num_k_exclude_rope: int = 0):
+        """k/v projection + rotary encoding of the keys, no attention.
+
+        The tracker's memory bank changes by at most one entry per frame, so
+        these per-layer projections are computed once per entry at
+        encode-memory time and cached (video/tracker.py encode_memory_kv);
+        the rotation per position is frame-invariant (rope_k_repeat tiles the
+        same table for every bank slot). grid_tokens: the query grid length
+        the rope table is built for (Hf*Wf).
+        """
+        kh = split_heads(self.k_proj(k), self.num_heads)
+        vh = split_heads(self.v_proj(v), self.num_heads)
+        cos, sin = self._rope_tables(grid_tokens)
         n_k = kh.shape[-2]
         num_k_rope = n_k - num_k_exclude_rope
-        if num_k_rope != n_q:
+        if num_k_rope != grid_tokens:
             assert self.rope_k_repeat, "k/q length mismatch requires rope_k_repeat"
-            r = num_k_rope // n_q
+            r = num_k_rope // grid_tokens
             cos_k = jnp.tile(cos, (r, 1))
             sin_k = jnp.tile(sin, (r, 1))
         else:
             cos_k, sin_k = cos, sin
-        k_rope = apply_rope(kh[..., :num_k_rope, :], cos_k, sin_k)
-        kh = jnp.concatenate([k_rope, kh[..., num_k_rope:, :]], axis=-2)
+        if num_k_rope > 0:
+            k_rope = apply_rope(kh[..., :num_k_rope, :], cos_k, sin_k)
+            kh = jnp.concatenate([k_rope, kh[..., num_k_rope:, :]], axis=-2)
+        return kh, vh
+
+    def attend_projected(self, q, kh, vh, key_padding_mask=None):
+        """Query projection + rope + attention over pre-projected k/v heads."""
+        qh = split_heads(self.q_proj(q), self.num_heads)
+        n_q = qh.shape[-2]
+        cos, sin = self._rope_tables(n_q)
+        qh = apply_rope(qh, cos, sin)
         mask = None
         if key_padding_mask is not None:
             # True = PAD (torch convention); invalid memory-bank slots
             mask = ~key_padding_mask[:, None, None, :]
         return self.output(sdpa(qh, kh, vh, mask=mask))
+
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0, key_padding_mask=None):
+        kh, vh = self.project_kv(
+            k, v, q.shape[-2], num_k_exclude_rope=num_k_exclude_rope
+        )
+        return self.attend_projected(q, kh, vh, key_padding_mask=key_padding_mask)
 
 
 class MultiheadAttention(nn.Module):

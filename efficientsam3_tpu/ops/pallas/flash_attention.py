@@ -351,6 +351,136 @@ def flash_sdpa_packed(q, k, v, key_bias, sm_scale=None, block_q=512,
                              interpret)
 
 
+def _memattn_kernel(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
+                    acc_ref, m_ref, l_ref, *, sm_scale: float,
+                    blocks_k: int, heads: int):
+    """Transposed cross-attention with narrow values (dv != dk).
+
+    The tracker's memory attention reads VALUES that live in a 64-dim
+    subspace: v = v_proj(x) with x the 64-dim memory tokens, and softmax
+    rows sum to 1, so A @ v_proj(x) == v_proj(A @ x) exactly — the 64->256
+    expansion commutes out of the attention (applied once per query instead
+    of once per key). Attending over RAW 64-dim values cuts the AV matmul
+    FLOPs 4x, but a (bq, bk) @ (bk, 64) product would idle half the MXU's
+    output lanes — so this kernel runs fully transposed:
+
+      S^T (bk, bq) = K_blk (bk, 256) @ Q^T (256, bq)   -- full 128-lane M/N
+      O^T (dv, bq) += V^T (dv, bk) @ P^T (bk, bq)      -- dv on sublanes
+
+    Online softmax reduces over axis 0 (keys on sublanes), as in
+    _packed_kernel. Forward-only: the cached-bank tracker path is
+    inference-only by construction (video/predictor.py).
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(kvalid_ref[pl.program_id(0) // heads, ki] != 0)
+    def _block():
+        kb = k_ref[0]  # (bk, dk) bf16
+        qt = qt_ref[0]  # (dk, bq)
+        s_t = jax.lax.dot_general(
+            kb, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, bq) f32
+        s_t = s_t * sm_scale + bias_ref[0]  # bias (bk, 1) broadcasts lanes
+
+        m_prev = m_ref[:1, :]  # (1, bq)
+        l_prev = l_ref[:1, :]
+        m_cur = jnp.max(s_t, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s_t - m_new)  # (bk, bq) f32
+        corr = jnp.exp(m_prev - m_new)  # (1, bq)
+        l_new = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
+
+        pv = jax.lax.dot_general(
+            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (dv, bq) f32
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == blocks_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:1, :], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=1024,
+                  block_k=512, interpret=False):
+    """Forward-only flash attention with dv != dk (see _memattn_kernel).
+
+    q (B,H,Lq,Dk); k (B,H,Lk,Dk); v (B,H,Lk,Dv) with Dv a multiple of 8;
+    key_bias (B,Lk) f32. Returns (B,H,Lq,Dv) — callers apply the value
+    up-projection afterwards. Fully-masked query rows return 0 (not the
+    einsum path's uniform average; such rows are slot-gated everywhere)."""
+    b, h, lq, dk = q.shape
+    lk, dv = k.shape[2], v.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(dk)
+    g = b * h
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    lqp, lkp = lq + pad_q, lk + pad_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    key_bias = jnp.pad(
+        key_bias.astype(jnp.float32), ((0, 0), (0, pad_k)),
+        constant_values=NEG_INF,
+    )
+
+    blocks_k = lkp // block_k
+    kvalid = jnp.any(
+        key_bias.reshape(b, blocks_k, block_k) > NEG_INF / 2, axis=-1
+    ).astype(jnp.int32)
+    bias_t = key_bias[:, :, None]  # (B, Lkp, 1) — keys along sublanes
+
+    qt = q.transpose(0, 1, 3, 2).reshape(g, dk, lqp)
+    kg = k.reshape(g, lkp, dk)
+    vt = v.transpose(0, 1, 3, 2).reshape(g, dv, lkp)
+
+    grid = (g, lqp // block_q, blocks_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _memattn_kernel, sm_scale=sm_scale, blocks_k=blocks_k, heads=h
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_k, dk), lambda gi, qi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, dk, block_q), lambda gi, qi, ki: (gi, 0, qi)),
+            pl.BlockSpec((1, dv, block_k), lambda gi, qi, ki: (gi, 0, ki)),
+            pl.BlockSpec(
+                (1, block_k, 1), lambda gi, qi, ki, h_=h: (gi // h_, ki, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, dv, block_q), lambda gi, qi, ki: (gi, 0, qi)
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, dv, lqp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((dv, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kvalid, kg, qt, vt, bias_t)
+
+    return out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq]
+
+
 def _bwd_dq_kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                    lse_ref, delta_ref, dq_ref, acc_ref, *, sm_scale: float,
                    blocks_k: int, heads: int):

@@ -70,6 +70,7 @@ class TrackerPredictor:
         use_memory_selection: bool = False,
         mf_threshold: float = 0.01,
         fill_hole_area: int = 0,
+        cache_memory_kv: bool = True,
         mesh=None,
         mesh_axis: str = "objects",
     ):
@@ -125,8 +126,37 @@ class TrackerPredictor:
                 v, pix, (s0, s1), masks, method=core.use_mask_as_output
             )
 
+        # cached-bank fast path: per-frame memory k/v come from the cache
+        # built at encode time instead of reprojecting ~36k tokens x 4
+        # layers every step (tracker.py condition_features_cached)
+        def _track_cached(v, tokens, pos, k_bank, v_bank, tpos, mem_valid,
+                          ptrs, tdiff, pvalid, delta, coords, labels, s0, s1,
+                          multimask, max_tdiff=16.0):
+            cond = core.apply(
+                v, tokens, pos, k_bank, v_bank, tpos, mem_valid, ptrs, tdiff,
+                pvalid, delta, max_tdiff,
+                method=core.condition_features_cached,
+            )
+            b = tokens.shape[0]
+            pix = cond.reshape(b, fs, fs, core.d_model)
+            return core.apply(
+                v, pix, coords, labels, (s0, s1), multimask,
+                method=core.forward_sam_heads,
+            )
+
+        def _encode_mem_kv(v, mem):
+            return core.apply(v, mem, method=core.encode_memory_kv)
+
+        # the kernel-side bank is single-device; under an object-sharded
+        # mesh the cache would need per-shard assembly — keep plain path
+        self.cache_kv = cache_memory_kv and mesh is None
+        self._kv_delta = None  # lazily jitted tpos_k_delta(variables)
+        self._kv_zero = None  # zero (k, v) entry for invalid bank slots
+
         if mesh is None:
             self._track = jax.jit(_track, static_argnums=(13,))
+            self._track_cached = jax.jit(_track_cached, static_argnums=(15,))
+            self._encode_mem_kv = jax.jit(_encode_mem_kv)
             self._cond_track = jax.jit(_cond_track, static_argnums=(6,))
             self._encode_mem = jax.jit(_encode_mem, static_argnums=(4,))
             self._cond_mask = jax.jit(_cond_mask)
@@ -296,6 +326,10 @@ class TrackerPredictor:
             out = existing
         else:
             out = new_out
+        if self.cache_kv:
+            out["mem_kv"] = self._encode_mem_kv(
+                self.variables, jnp.asarray(out["maskmem"])
+            )
         state["cond_frames"][frame_idx] = out
         state["non_cond_frames"].pop(frame_idx, None)
         return frame_idx, list(state["obj_ids"]), out["low_res_masks"][: len(state["obj_ids"])]
@@ -353,6 +387,10 @@ class TrackerPredictor:
                 out["object_score_logits"][s] = sc[s]
                 out["maskmem"][s] = mm[s]
                 out["slot_valid"][s] = True
+        if self.cache_kv:
+            out["mem_kv"] = self._encode_mem_kv(
+                self.variables, jnp.asarray(out["maskmem"])
+            )
         return out
 
     # ------------------------------------------------------------------
@@ -405,6 +443,7 @@ class TrackerPredictor:
         ptrs = np.zeros((self.obj_slots, core.max_obj_ptrs, core.d_model), np.float32)
         tdiff = np.zeros((self.obj_slots, core.max_obj_ptrs), np.float32)
         pvalid = np.zeros((self.obj_slots, core.max_obj_ptrs), bool)
+        src = -np.ones((self.obj_slots, n_mem), np.int64)  # source frame ids
 
         r = self.stride
         sign = -1 if reverse else 1
@@ -423,6 +462,7 @@ class TrackerPredictor:
                 mem[s, slot_i] = cond[t]["maskmem"][s]
                 tpos[s, slot_i] = 0
                 valid[s, slot_i] = True
+                src[s, slot_i] = t
                 slot_i += 1
 
             def _mem_lookup(t):
@@ -456,6 +496,7 @@ class TrackerPredictor:
                 mem[s, slot_i] = out["maskmem"][s]
                 tpos[s, slot_i] = t_pos
                 valid[s, slot_i] = True
+                src[s, slot_i] = prev
                 slot_i += 1
 
             # object pointers: cond frames (past only) then recent non-cond
@@ -487,11 +528,44 @@ class TrackerPredictor:
                     tdiff[s, pi] = t_d
                     pvalid[s, pi] = True
                     pi += 1
-        return mem, tpos, valid, ptrs, tdiff, pvalid
+        return mem, tpos, valid, ptrs, tdiff, pvalid, src
+
+    def _lookup_out(self, state, t):
+        out = state["non_cond_frames"].get(t)
+        if out is None:
+            out = state["cond_frames"].get(t)
+        return out
+
+    def _assemble_kv_bank(self, state, src, n_act):
+        """Cached-bank assembly: one (slots, L, S_e, C) k/v pair per bank
+        position, stacked on device. Applicable when every active slot
+        selects the SAME frame per bank position (the common tracking case;
+        per-slot divergence after mid-video prompts falls back to the plain
+        reprojection path) and each selected frame still has its cache."""
+        if n_act == 0:
+            return None
+        rows = src[:n_act]
+        if not (rows == rows[0]).all():
+            return None
+        entries = []
+        for t in rows[0]:
+            if t < 0:
+                entries.append(None)
+                continue
+            out = self._lookup_out(state, int(t))
+            if out is None or "mem_kv" not in out:
+                return None
+            entries.append(out["mem_kv"])
+        if self._kv_zero is None:
+            ref = next(e for e in entries if e is not None)
+            self._kv_zero = tuple(jnp.zeros_like(a) for a in ref)
+        ks = [self._kv_zero[0] if e is None else e[0] for e in entries]
+        vs = [self._kv_zero[1] if e is None else e[1] for e in entries]
+        return jnp.stack(ks, axis=2), jnp.stack(vs, axis=2)
 
     def _run_track_frame(self, state, frame_idx, reverse=False):
         tokens, s0, s1 = self._features(state, frame_idx)
-        mem, tpos, valid, ptrs, tdiff, pvalid = self._gather_memory(
+        mem, tpos, valid, ptrs, tdiff, pvalid, src = self._gather_memory(
             state, frame_idx, reverse
         )
         from efficientsam3_tpu.models.common import sine_pos_embed_2d
@@ -505,14 +579,33 @@ class TrackerPredictor:
         # ptr tpos normalized by min(num_frames, max_obj_ptrs) - 1
         # (tracker_base.py:703 max_obj_ptrs_in_encoder = min(num_frames, 16))
         max_td = float(min(state["num_frames"], self.core.max_obj_ptrs))
-        heads = self._track(
-            self.variables,
-            self._tile(tokens), pos,
-            jnp.asarray(mem), jnp.asarray(tpos), jnp.asarray(valid),
-            jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
-            empty_pts, empty_lab, self._tile(s0), self._tile(s1), True,
-            jnp.float32(max_td),
+        n_act = len(state["obj_ids"])
+        bank = (
+            self._assemble_kv_bank(state, src, n_act) if self.cache_kv else None
         )
+        if bank is not None:
+            if self._kv_delta is None:
+                self._kv_delta = jax.jit(
+                    lambda v: self.core.apply(v, method=self.core.tpos_k_delta)
+                )(self.variables)
+            heads = self._track_cached(
+                self.variables,
+                self._tile(tokens), pos, bank[0], bank[1],
+                jnp.asarray(tpos), jnp.asarray(valid),
+                jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
+                self._kv_delta,
+                empty_pts, empty_lab, self._tile(s0), self._tile(s1), True,
+                jnp.float32(max_td),
+            )
+        else:
+            heads = self._track(
+                self.variables,
+                self._tile(tokens), pos,
+                jnp.asarray(mem), jnp.asarray(tpos), jnp.asarray(valid),
+                jnp.asarray(ptrs), jnp.asarray(tdiff), jnp.asarray(pvalid),
+                empty_pts, empty_lab, self._tile(s0), self._tile(s1), True,
+                jnp.float32(max_td),
+            )
         mem_new = self._encode_mem(
             self.variables, self._tile(tokens), heads["high_res_masks"],
             heads["object_score_logits"], False,
@@ -525,7 +618,7 @@ class TrackerPredictor:
         obj_norm = np.where(score[:n_act, 0] > 0,
                             1.0 / (1.0 + np.exp(-score[:n_act, 0])) * 2 - 1, 0.0)
         eff = float((obj_norm * ious[:n_act].max(-1)).mean()) if n_act else 0.0
-        return {
+        out = {
             "low_res_masks": np.array(heads["low_res_masks"]),
             "obj_ptr": np.array(heads["obj_ptr"]),
             "object_score_logits": score,
@@ -533,6 +626,11 @@ class TrackerPredictor:
             "slot_valid": np.arange(self.obj_slots) < n_act,
             "eff_iou_score": eff,
         }
+        if self.cache_kv:
+            # device-resident: transferring the (slots, L, S_e, C) cache to
+            # host would cost more than the projection it saves
+            out["mem_kv"] = self._encode_mem_kv(self.variables, mem_new)
+        return out
 
     def _trim_non_cond(self, state, frame_idx, reverse=False):
         """Bound host memory on long videos: drop the spatial memory of the
@@ -549,6 +647,7 @@ class TrackerPredictor:
                 out.get("eff_iou_score", 0.0) < self.mf_threshold
             ):
                 del out["maskmem"]
+                out.pop("mem_kv", None)  # frees the device-side k/v cache
         if self.use_memory_selection:
             # high-score frames survive the window above; still trim far-past
             # ones (tracker_base.py:1098-1106)
@@ -556,6 +655,7 @@ class TrackerPredictor:
             out = state["non_cond_frames"].get(far)
             if out is not None and "maskmem" in out:
                 del out["maskmem"]
+                out.pop("mem_kv", None)
 
     def propagate_in_video(self, state, start_frame_idx=None, reverse=False):
         """Yield (frame_idx, obj_ids, low_res_mask_logits) per frame."""
@@ -611,6 +711,9 @@ class TrackerPredictor:
                 ):
                     if k in out:
                         shift(out[k], False if k == "slot_valid" else 0)
+                # slot-aligned device cache is stale after the shift; drop it
+                # (tracking falls back to reprojection until re-encoded)
+                out.pop("mem_kv", None)
         for coords, labs in state["prompts"].values():
             shift(coords)
             shift(labs, -1)

@@ -158,6 +158,112 @@ class TrackerCore(nn.Module):
             num_obj_ptr_tokens=n_ptr * split, train=train,
         )
 
+    # -------- cached-bank fast path (see memory_attention.py docstring) ----
+
+    def encode_memory_kv(self, mem):
+        """Per-layer cached cross-attention k/v of one memory entry.
+
+        mem (B, Hm, Wm, mem_dim) from encode_memory. Returns (k, v) each
+        (B, L, Hm*Wm, internal_dim); k includes the spatial sine pos and
+        rotary encoding (frame-invariant), NOT the slot-age temporal
+        embedding (added at attend time via tpos_k_delta)."""
+        from efficientsam3_tpu.models.common import sine_pos_embed_2d
+
+        b, hm, wm, md = mem.shape
+        s_e = hm * wm
+        pos = sine_pos_embed_2d(hm, wm, md).reshape(s_e, md)
+        k, v = self.memory_attention.project_bank_entry(
+            mem.reshape(b, s_e, md), pos, grid_tokens=s_e
+        )
+        return k[:, :, 0], v[:, :, 0]  # single-head: squeeze the heads axis
+
+    def tpos_k_delta(self):
+        """Rope'd per-layer linear images of the slot-age embeddings.
+
+        k_proj is affine, so k(entry + pos + tpos_age) =
+        [cached k(entry + pos)] + rope(W_l . tpos_age) — this returns that
+        additive delta, (L, num_maskmem ages, Hm*Wm, internal). The bias is
+        cancelled via k_proj(t) - k_proj(0)."""
+        from efficientsam3_tpu.models.common import apply_rope
+
+        fs = self.feat_size
+        s_e = fs * fs
+        tpos = self.maskmem_tpos_enc[:, 0, 0, :]  # (num_maskmem, md)
+        zeros = jnp.zeros_like(tpos)
+        deltas = []
+        for layer in self.memory_attention.layers:
+            att = layer.cross_attn_image
+            w = att.k_proj(tpos) - att.k_proj(zeros)  # (num_maskmem, C)
+            cos, sin = att._rope_tables(s_e)
+            rot = apply_rope(
+                jnp.broadcast_to(
+                    w[:, None, :], (w.shape[0], s_e, w.shape[-1])
+                ),
+                cos, sin,
+            )
+            deltas.append(rot)
+        return jnp.stack(deltas)  # (L, num_maskmem, S_e, C)
+
+    def condition_features_cached(
+        self,
+        vision_tokens,  # (B, HW, C)
+        vision_pos,  # (HW, C) or (B, HW, C)
+        k_bank,  # (B, L, num_maskmem, S_e, C) cached entry keys
+        v_bank,  # (B, L, num_maskmem, S_e, C) cached entry values
+        mem_tpos_idx,  # (B, num_maskmem) int
+        mem_valid,  # (B, num_maskmem) bool
+        obj_ptrs,  # (B, max_obj_ptrs, C)
+        ptr_tdiff,  # (B, max_obj_ptrs)
+        ptr_valid,  # (B, max_obj_ptrs)
+        tpos_delta,  # (L, num_maskmem ages, S_e, C) from tpos_k_delta
+        max_tdiff: float = 16.0,
+        *,
+        train: bool = False,
+    ):
+        """condition_features over a cached-k/v bank: per frame only the
+        queries and the object-pointer tokens are projected; the ~36k memory
+        tokens' k/v come from the cache with an additive age delta."""
+        b, n_layers, n_mem, s_e, c = k_bank.shape
+        cd = self.d_model
+        md = self.mem_dim
+
+        age = self.num_maskmem - 1 - mem_tpos_idx  # (B, n_mem)
+        # (L, B, n_mem, S_e, C) -> (B, L, n_mem, S_e, C)
+        d_sel = tpos_delta[:, age].transpose(1, 0, 2, 3, 4)
+        k_mem = (k_bank + d_sel.astype(k_bank.dtype)).reshape(
+            b, n_layers, 1, n_mem * s_e, c
+        )
+        v_mem = v_bank.reshape(b, n_layers, 1, n_mem * s_e, c)
+        mem_mask = ~jnp.repeat(mem_valid, s_e, axis=1)
+
+        # object pointers: tiny, projected per frame per layer
+        n_ptr = obj_ptrs.shape[1]
+        split = cd // md
+        ptr_tok = obj_ptrs.reshape(b, n_ptr, split, md).reshape(
+            b, n_ptr * split, md
+        )
+        tpe = get_1d_sine_pe(ptr_tdiff / jnp.maximum(max_tdiff - 1.0, 1.0), cd)
+        tpe = self.obj_ptr_tpos_proj(tpe)
+        ptr_pos = jnp.repeat(tpe, split, axis=1)
+        ptr_mask = ~jnp.repeat(ptr_valid, split, axis=1)
+
+        ks, vs = [], []
+        for li, layer in enumerate(self.memory_attention.layers):
+            k_in = ptr_tok + ptr_pos if layer.pos_enc_at_cross_attn_keys else ptr_tok
+            kp, vp = layer.cross_attn_image.project_kv(
+                k_in, ptr_tok, grid_tokens=s_e,
+                num_k_exclude_rope=n_ptr * split,
+            )
+            ks.append(jnp.concatenate([k_mem[:, li], kp], axis=-2))
+            vs.append(jnp.concatenate([v_mem[:, li], vp], axis=-2))
+        k_layers = jnp.stack(ks, axis=1)  # (B, L, 1, S, C)
+        v_layers = jnp.stack(vs, axis=1)
+        memory_mask = jnp.concatenate([mem_mask, ptr_mask], axis=1)
+        return self.memory_attention.forward_cached(
+            vision_tokens, vision_pos, k_layers, v_layers, memory_mask,
+            train=train,
+        )
+
     # ------------------------------------------------------------------
 
     def forward_sam_heads(

@@ -23,7 +23,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the sandbox exports JAX_PLATFORMS=axon (remote TPU tunnel), so
+# a setdefault would silently leave this harness running over the tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "EFFICIENTSAM3_BPE_PATH",
     "/root/reference/sam3/assets/bpe_simple_vocab_16e6.txt.gz",

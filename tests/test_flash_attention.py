@@ -196,3 +196,46 @@ def test_sdpa_flash_routing_rules():
         assert not _flash_eligible(big_q, big_q, None, None)
     finally:
         del os.environ["EFFICIENTSAM3_NO_FLASH"]
+
+
+@pytest.mark.parametrize("b,h,lq,lk,dk,dv", [
+    (2, 1, 96, 224, 64, 16),   # cross-attention, narrow values, padding
+    (1, 1, 64, 128, 32, 8),
+])
+def test_flash_memattn_matches_einsum(b, h, lq, lk, dk, dv):
+    from efficientsam3_tpu.ops.pallas.flash_attention import flash_memattn
+
+    q, k = _rand((b, h, lq, dk)), _rand((b, h, lk, dk))
+    v = _rand((b, h, lk, dv))
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, lk - 13:] = NEG_INF
+    bias = jnp.asarray(bias)
+    # einsum reference with narrow v (same semantics: probs cast to v dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(dk)
+    logits = logits + bias[:, None, None, :]
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    got = flash_memattn(q, k, v, bias, block_q=32, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_memattn_block_skipping_and_bf16():
+    from efficientsam3_tpu.ops.pallas.flash_attention import flash_memattn
+
+    b, h, lq, lk, dk, dv = 1, 1, 32, 256, 64, 16
+    q = _rand((b, h, lq, dk), jnp.bfloat16)
+    k = _rand((b, h, lk, dk), jnp.bfloat16)
+    v = _rand((b, h, lk, dv), jnp.bfloat16)
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, 64:] = NEG_INF  # only the first of four 64-blocks valid
+    bias = jnp.asarray(bias)
+    got = flash_memattn(q, k, v, bias, block_q=32, block_k=64, interpret=True)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q[:, :, :, :], k[:, :, :64],
+        preferred_element_type=jnp.float32) / np.sqrt(dk)
+    probs = jax.nn.softmax(logits, -1).astype(jnp.bfloat16)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v[:, :, :64])
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2)
