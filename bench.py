@@ -280,7 +280,7 @@ def main():
             (s_obj, fs * fs, d), jnp.float32,
         )
         k_bank = jnp.stack(k_es, axis=2)
-        v_bank = jnp.stack(v_es, axis=2)
+        v_bank = jnp.stack(v_es, axis=1)  # raw mem_dim entries
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,

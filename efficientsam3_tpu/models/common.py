@@ -172,6 +172,38 @@ def sdpa(q, k, v, mask=None, bias=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def sdpa_rawv(q, k, v_raw, mask=None):
+    """Attention whose VALUES are raw (pre-projection) low-dim tokens.
+
+    q/k (B, H, Lq/Lk, D); v_raw (B, H, Lk, dv) with dv << D. Returns
+    (B, H, Lq, dv); the caller applies the value up-projection afterwards
+    (exact, because softmax rows sum to 1 — see flash_memattn). Large
+    shapes route to the transposed Pallas kernel; fallback is the einsum
+    path with the narrow v."""
+    d = q.shape[-1]
+    if _flash_eligible(q, k, mask, None) and v_raw.shape[-1] % 8 == 0:
+        from efficientsam3_tpu.ops.pallas.flash_attention import (
+            NEG_INF,
+            flash_memattn,
+        )
+
+        b, lk = q.shape[0], k.shape[-2]
+        if mask is None:
+            key_bias = jnp.zeros((b, lk), jnp.float32)
+        else:
+            key_bias = jnp.where(
+                mask[:, 0, 0, :], jnp.float32(0), jnp.float32(NEG_INF)
+            )
+        return flash_memattn(q, k, v_raw, key_bias, 1.0 / math.sqrt(d))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v_raw.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v_raw)
+
+
 def split_heads(x, num_heads):
     b, n, c = x.shape
     return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
@@ -319,6 +351,26 @@ class RoPEAttention(Attention):
             # True = PAD (torch convention); invalid memory-bank slots
             mask = ~key_padding_mask[:, None, None, :]
         return self.output(sdpa(qh, kh, vh, mask=mask))
+
+    def attend_projected_rawv(self, q, kh, v_raw, key_padding_mask=None):
+        """Attention over cached keys and RAW (kv_in_dim) values.
+
+        v = v_proj(x) is a linear image of the kv_in_dim-dim tokens and
+        softmax rows sum to 1, so A @ v_proj(x) == v_proj(A @ x): the
+        64->internal up-projection is applied ONCE per query after the
+        attention instead of once per key — 4x fewer AV FLOPs at the
+        tracker's memory shape, and the value side of the bank cache
+        stays kv_in_dim wide. Single-head only (v_proj's output is not
+        split across heads)."""
+        assert self.num_heads == 1, "rawv path requires a single head"
+        qh = split_heads(self.q_proj(q), self.num_heads)
+        cos, sin = self._rope_tables(qh.shape[-2])
+        qh = apply_rope(qh, cos, sin)
+        mask = None
+        if key_padding_mask is not None:
+            mask = ~key_padding_mask[:, None, None, :]
+        o = sdpa_rawv(qh, kh, v_raw, mask=mask)  # (B, 1, Lq, kv_in_dim)
+        return self.out_proj(self.v_proj(merge_heads(o)))
 
     def __call__(self, q, k, v, num_k_exclude_rope: int = 0, key_padding_mask=None):
         kh, vh = self.project_kv(

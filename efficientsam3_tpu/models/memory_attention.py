@@ -13,15 +13,23 @@ masked in attention) so every frame step compiles once — replacing the
 reference's per-frame dynamic concat of dict-of-frames memories.
 
 Cached-bank fast path: the bank mutates by at most one entry per frame, so
-per-layer k/v projections + rotary encoding of the ~36k memory tokens
+per-layer key projections + rotary encoding of the ~36k memory tokens
 (measured 3.0 ms/layer of the 15.2 ms cross-attention at 8 slots) are
 recomputed needlessly every frame in the plain path. `project_bank_entry`
-computes a single entry's per-layer k/v once at encode-memory time;
-`forward_cached` consumes the assembled per-layer bank k/v and only
+computes a single entry's per-layer keys once at encode-memory time;
+`forward_cached` consumes the assembled per-layer bank keys and only
 projects the (tiny, per-frame) object-pointer tokens and queries. The
 slot-age temporal embedding (maskmem_tpos_enc) is linear through k_proj,
 so aging an entry is an additive rope'd delta applied at attention time
 (video/tracker.py tpos_k_delta) rather than a reprojection.
+
+Values are never projected per key at all on this path: v = v_proj(x) is
+linear and softmax rows sum to 1, so A @ v_proj(x) == v_proj(A @ x) —
+attention runs over the RAW mem_dim(64)-wide tokens (4x fewer AV FLOPs,
+ops/pallas/flash_attention.py flash_memattn runs it transposed to keep
+all MXU lanes live) and the 64->256 up-projection applies once per query
+after the weighted sum. The value side of the cache is therefore just
+the memory tokens themselves, layer-independent.
 """
 
 from __future__ import annotations
@@ -65,13 +73,17 @@ class MemoryAttentionLayer(nn.Module):
         k = memory + memory_pos if self.pos_enc_at_cross_attn_keys else memory
         return k, memory
 
-    def project_entry_kv(self, entry, entry_pos, grid_tokens: int):
-        """Per-layer cached k/v of one memory-bank entry (B, S, kv_in_dim).
+    def project_entry_k(self, entry, entry_pos, grid_tokens: int):
+        """Per-layer cached keys of one memory-bank entry (B, S, kv_in_dim).
 
         entry_pos carries the spatial sine embedding only — the slot-age
-        temporal embedding is added later as a rope'd linear delta."""
-        k_in, v_in = self._cross_inputs(entry, entry_pos)
-        return self.cross_attn_image.project_kv(k_in, v_in, grid_tokens)
+        temporal embedding is added later as a rope'd linear delta. Values
+        are NOT cached: the cached path attends over the raw kv_in_dim
+        tokens and up-projects after the attention (attend_projected_rawv),
+        so the value cache would be pure waste."""
+        k_in, _ = self._cross_inputs(entry, entry_pos)
+        kh, _ = self.cross_attn_image.project_kv(k_in, entry, grid_tokens)
+        return kh
 
     def _tail(self, tgt, train: bool):
         do = lambda x: self.drop(x, deterministic=not train)
@@ -115,7 +127,7 @@ class MemoryAttentionLayer(nn.Module):
         self,
         tgt,  # (B, HW, C)
         kh,  # (B, heads, S, internal) pre-projected rope'd keys
-        vh,  # (B, heads, S, internal) pre-projected values
+        v_raw,  # (B, heads, S, kv_in_dim) RAW value tokens (layer-shared)
         memory_mask=None,  # (B, S)
         self_key_padding_mask=None,
         *,
@@ -123,8 +135,8 @@ class MemoryAttentionLayer(nn.Module):
     ):
         do = lambda x: self.drop(x, deterministic=not train)
         tgt = self._self_block(tgt, self_key_padding_mask, train)
-        t2 = self.cross_attn_image.attend_projected(
-            self.norm2(tgt), kh, vh, key_padding_mask=memory_mask
+        t2 = self.cross_attn_image.attend_projected_rawv(
+            self.norm2(tgt), kh, v_raw, key_padding_mask=memory_mask
         )
         tgt = tgt + do(t2)
         return self._tail(tgt, train)
@@ -190,25 +202,25 @@ class MemoryAttention(nn.Module):
         return self.norm(out)
 
     def project_bank_entry(self, entry, entry_pos, grid_tokens: int):
-        """All layers' cached k/v for one bank entry.
+        """All layers' cached keys for one bank entry.
 
         entry (B, S, kv_in_dim), entry_pos (S, kv_in_dim) or broadcastable.
-        Returns (k, v) each (B, L, heads, S, internal)."""
+        Returns k (B, L, heads, S, internal). Values are not cached (raw
+        tokens are attended directly; see attend_projected_rawv)."""
         if entry_pos.ndim == 2:
             entry_pos = entry_pos[None]
-        ks, vs = [], []
-        for layer in self.layers:
-            kh, vh = layer.project_entry_kv(entry, entry_pos, grid_tokens)
-            ks.append(kh)
-            vs.append(vh)
-        return jnp.stack(ks, axis=1), jnp.stack(vs, axis=1)
+        ks = [
+            layer.project_entry_k(entry, entry_pos, grid_tokens)
+            for layer in self.layers
+        ]
+        return jnp.stack(ks, axis=1)
 
     def forward_cached(
         self,
         src,  # (B, HW, C)
         src_pos,
         k_layers,  # (B, L, heads, S, internal) assembled bank keys
-        v_layers,  # (B, L, heads, S, internal)
+        v_raw,  # (B, heads, S, kv_in_dim) raw value tokens (layer-shared)
         memory_mask=None,  # (B, S)
         *,
         train: bool = False,
@@ -216,7 +228,7 @@ class MemoryAttention(nn.Module):
         out, self_kpm = self._prep(src, src_pos, memory_mask)
         for i, layer in enumerate(self.layers):
             out = layer.forward_cached(
-                out, k_layers[:, i], v_layers[:, i], memory_mask,
+                out, k_layers[:, i], v_raw, memory_mask,
                 self_key_padding_mask=self_kpm, train=train,
             )
         return self.norm(out)

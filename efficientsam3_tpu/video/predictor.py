@@ -561,7 +561,9 @@ class TrackerPredictor:
             self._kv_zero = tuple(jnp.zeros_like(a) for a in ref)
         ks = [self._kv_zero[0] if e is None else e[0] for e in entries]
         vs = [self._kv_zero[1] if e is None else e[1] for e in entries]
-        return jnp.stack(ks, axis=2), jnp.stack(vs, axis=2)
+        # k (slots, L, S_e, C) stacks to (slots, L, n_mem, S_e, C);
+        # raw v (slots, S_e, md) stacks to (slots, n_mem, S_e, md)
+        return jnp.stack(ks, axis=2), jnp.stack(vs, axis=1)
 
     def _run_track_frame(self, state, frame_idx, reverse=False):
         tokens, s0, s1 = self._features(state, frame_idx)

@@ -161,21 +161,25 @@ class TrackerCore(nn.Module):
     # -------- cached-bank fast path (see memory_attention.py docstring) ----
 
     def encode_memory_kv(self, mem):
-        """Per-layer cached cross-attention k/v of one memory entry.
+        """Per-layer cached cross-attention keys of one memory entry.
 
-        mem (B, Hm, Wm, mem_dim) from encode_memory. Returns (k, v) each
-        (B, L, Hm*Wm, internal_dim); k includes the spatial sine pos and
-        rotary encoding (frame-invariant), NOT the slot-age temporal
-        embedding (added at attend time via tpos_k_delta)."""
+        mem (B, Hm, Wm, mem_dim) from encode_memory. Returns
+        (k (B, L, Hm*Wm, internal_dim), v_raw (B, Hm*Wm, mem_dim)):
+        k includes the spatial sine pos and rotary encoding
+        (frame-invariant), NOT the slot-age temporal embedding (added at
+        attend time via tpos_k_delta); v_raw is the raw memory tokens —
+        values are attended unprojected and up-projected after attention
+        (attend_projected_rawv), so the value cache is mem_dim wide and
+        layer-independent."""
         from efficientsam3_tpu.models.common import sine_pos_embed_2d
 
         b, hm, wm, md = mem.shape
         s_e = hm * wm
         pos = sine_pos_embed_2d(hm, wm, md).reshape(s_e, md)
-        k, v = self.memory_attention.project_bank_entry(
+        k = self.memory_attention.project_bank_entry(
             mem.reshape(b, s_e, md), pos, grid_tokens=s_e
         )
-        return k[:, :, 0], v[:, :, 0]  # single-head: squeeze the heads axis
+        return k[:, :, 0], mem.reshape(b, s_e, md)
 
     def tpos_k_delta(self):
         """Rope'd per-layer linear images of the slot-age embeddings.
@@ -209,7 +213,7 @@ class TrackerCore(nn.Module):
         vision_tokens,  # (B, HW, C)
         vision_pos,  # (HW, C) or (B, HW, C)
         k_bank,  # (B, L, num_maskmem, S_e, C) cached entry keys
-        v_bank,  # (B, L, num_maskmem, S_e, C) cached entry values
+        v_bank,  # (B, num_maskmem, S_e, mem_dim) RAW entry tokens
         mem_tpos_idx,  # (B, num_maskmem) int
         mem_valid,  # (B, num_maskmem) bool
         obj_ptrs,  # (B, max_obj_ptrs, C)
@@ -220,9 +224,11 @@ class TrackerCore(nn.Module):
         *,
         train: bool = False,
     ):
-        """condition_features over a cached-k/v bank: per frame only the
+        """condition_features over a cached bank: per frame only the
         queries and the object-pointer tokens are projected; the ~36k memory
-        tokens' k/v come from the cache with an additive age delta."""
+        tokens' keys come from the cache with an additive age delta, and
+        their values stay raw mem_dim tokens (up-projected after attention,
+        exactly — attend_projected_rawv)."""
         b, n_layers, n_mem, s_e, c = k_bank.shape
         cd = self.d_model
         md = self.mem_dim
@@ -233,7 +239,7 @@ class TrackerCore(nn.Module):
         k_mem = (k_bank + d_sel.astype(k_bank.dtype)).reshape(
             b, n_layers, 1, n_mem * s_e, c
         )
-        v_mem = v_bank.reshape(b, n_layers, 1, n_mem * s_e, c)
+        v_mem = v_bank.reshape(b, n_mem * s_e, md)
         mem_mask = ~jnp.repeat(mem_valid, s_e, axis=1)
 
         # object pointers: tiny, projected per frame per layer
@@ -247,20 +253,22 @@ class TrackerCore(nn.Module):
         ptr_pos = jnp.repeat(tpe, split, axis=1)
         ptr_mask = ~jnp.repeat(ptr_valid, split, axis=1)
 
-        ks, vs = [], []
+        ks = []
         for li, layer in enumerate(self.memory_attention.layers):
             k_in = ptr_tok + ptr_pos if layer.pos_enc_at_cross_attn_keys else ptr_tok
-            kp, vp = layer.cross_attn_image.project_kv(
+            kp, _ = layer.cross_attn_image.project_kv(
                 k_in, ptr_tok, grid_tokens=s_e,
                 num_k_exclude_rope=n_ptr * split,
             )
             ks.append(jnp.concatenate([k_mem[:, li], kp], axis=-2))
-            vs.append(jnp.concatenate([v_mem[:, li], vp], axis=-2))
         k_layers = jnp.stack(ks, axis=1)  # (B, L, 1, S, C)
-        v_layers = jnp.stack(vs, axis=1)
+        # raw values: memory tokens then pointer tokens, layer-shared
+        v_raw = jnp.concatenate(
+            [v_mem, ptr_tok.astype(v_mem.dtype)], axis=1
+        )[:, None]  # (B, 1, S, md)
         memory_mask = jnp.concatenate([mem_mask, ptr_mask], axis=1)
         return self.memory_attention.forward_cached(
-            vision_tokens, vision_pos, k_layers, v_layers, memory_mask,
+            vision_tokens, vision_pos, k_layers, v_raw, memory_mask,
             train=train,
         )
 

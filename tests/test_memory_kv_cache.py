@@ -41,14 +41,15 @@ def _setup(num_heads=1):
 
 
 def _cached_bank(core, variables, mem):
-    """Assemble the cached k/v bank entry by entry (as the predictor does)."""
+    """Assemble the cached bank entry by entry (as the predictor does)."""
     b, n_mem = mem.shape[:2]
     ks, vs = [], []
     for i in range(n_mem):
         k, v = core.apply(variables, mem[:, i], method=core.encode_memory_kv)
         ks.append(k)
         vs.append(v)
-    return jnp.stack(ks, axis=2), jnp.stack(vs, axis=2)  # (B, L, n_mem, S, C)
+    # k (B, L, n_mem, S, C); raw v (B, n_mem, S, mem_dim)
+    return jnp.stack(ks, axis=2), jnp.stack(vs, axis=1)
 
 
 def test_cached_condition_features_parity():
