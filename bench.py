@@ -46,10 +46,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 
 NORTH_STAR_MS = 10.0
 
-# bf16 peak FLOP/s per chip by device kind (public TPU specs)
+# bf16 peak FLOP/s per chip by device kind (public TPU specs).
+# v5e is 197 TF/s bf16 (394 is its int8 number — r1/r2 MFU figures used it
+# and read half the true utilization).
 PEAK_FLOPS = {
-    "TPU v5 lite": 394e12,  # v5e
-    "TPU v5e": 394e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
     "TPU v5p": 459e12,
     "TPU v4": 275e12,
     "TPU v6e": 918e12,

@@ -421,11 +421,19 @@ def init_tracker_variables(core: TrackerCore, rng):
     labels = -jnp.ones((b, 2), jnp.int32)
     img = core.image_size
 
-    v1 = core.init(
-        rng, tokens.reshape(b, fs, fs, d), coords, labels, (s0, s1), True,
-        method=core.forward_sam_heads,
-    )
-    v2 = core.init(
+    # Each init runs under jit: eager init on a remote (tunneled) backend
+    # dispatches op-by-op at ~26 ms RTT per fetch and takes minutes; jitted
+    # it is one program. Arrays go in as jit args (never closures — large
+    # literal constants in the HLO are rejected by the remote compiler).
+    v1 = jax.jit(
+        lambda r, t, c, l, s: core.init(
+            r, t.reshape(b, fs, fs, d), c, l, s, True,
+            method=core.forward_sam_heads,
+        )
+    )(rng, tokens, coords, labels, (s0, s1))
+    v2 = jax.jit(
+        lambda r, t, *a: core.init(r, t, *a, method=core.condition_features)
+    )(
         rng, tokens, jnp.zeros((fs * fs, d)),
         jnp.zeros((b, core.num_maskmem, fs, fs, md)),
         jnp.zeros((b, core.num_maskmem), jnp.int32),
@@ -433,22 +441,21 @@ def init_tracker_variables(core: TrackerCore, rng):
         jnp.zeros((b, core.max_obj_ptrs, d)),
         jnp.zeros((b, core.max_obj_ptrs)),
         jnp.ones((b, core.max_obj_ptrs), bool),
-        method=core.condition_features,
     )
-    v3 = core.init(
-        rng, tokens, jnp.zeros((b, 1, img, img)), jnp.zeros((b, 1)), False,
-        method=core.encode_memory,
-    )
+    v3 = jax.jit(
+        lambda r, t, m, o: core.init(r, t, m, o, False, method=core.encode_memory)
+    )(rng, tokens, jnp.zeros((b, 1, img, img)), jnp.zeros((b, 1)))
     # high_res_convs maps the RAW neck levels (d channels) down to d/8, d/4
-    v4 = core.init(
-        rng, jnp.zeros((b, 4 * fs, 4 * fs, d)), jnp.zeros((b, 2 * fs, 2 * fs, d)),
-        method=lambda m, a, c: m.sam_mask_decoder.high_res_convs(a, c),
-    )
-    v5 = core.init(
-        rng, tokens.reshape(b, fs, fs, d), (s0, s1),
-        jnp.zeros((b, img, img, 1)),
-        method=core.use_mask_as_output,
-    )
+    v4 = jax.jit(
+        lambda r, a, c: core.init(
+            r, a, c, method=lambda m, x, y: m.sam_mask_decoder.high_res_convs(x, y)
+        )
+    )(rng, jnp.zeros((b, 4 * fs, 4 * fs, d)), jnp.zeros((b, 2 * fs, 2 * fs, d)))
+    v5 = jax.jit(
+        lambda r, t, s, mk: core.init(
+            r, t.reshape(b, fs, fs, d), s, mk, method=core.use_mask_as_output
+        )
+    )(rng, tokens, (s0, s1), jnp.zeros((b, img, img, 1)))
 
     def merge(*trees):
         out = {}

@@ -337,7 +337,9 @@ def main():
         embed_size=embed,
     )
     rng = jax.random.PRNGKey(0)
-    variables = model.init(
+    # jitted init: eager init over the tunneled TPU backend is minutes of
+    # per-op round-trips; jitted it is one compiled program
+    variables = jax.jit(model.init)(
         rng, jnp.zeros((1, res, res, 3)), jnp.zeros((1, ctx), jnp.int32),
         Prompt.empty(1, 8, 8),
     )
