@@ -170,6 +170,30 @@ def model_metrics(checkpoint=None, trained=None):
     )
     cg = evaluate_cgf1_files(records, [gt], iou_type="segm")
 
+    # mask mAP over the same records (the VERDICT r2 #1 bar names AP50)
+    from efficientsam3_tpu.eval.coco_format import ann_to_mask
+    from efficientsam3_tpu.eval.coco_map import CocoMAPEvaluator
+
+    ev = CocoMAPEvaluator("segm")
+    by_pair_gt = {}
+    for a in gt["annotations"]:
+        by_pair_gt.setdefault(a["image_id"], []).append(a)
+    by_pair_dt = {}
+    for r in records:
+        by_pair_dt.setdefault(r["image_id"], []).append(r)
+    for pair_id, i, q in pairs:
+        recs = by_pair_dt.get(pair_id, [])
+        gts = [ann_to_mask(a, 112, 112) for a in by_pair_gt.get(pair_id, [])]
+        dts = [ann_to_mask(r, 112, 112) for r in recs]
+        if not gts and not dts:
+            continue
+        ev.add_image(
+            1, [r["score"] for r in recs],
+            np.stack(dts) if dts else np.zeros((0, 112, 112), bool),
+            np.stack(gts) if gts else np.zeros((0, 112, 112), bool),
+        )
+    m = ev.summarize()
+
     # box-prompt mIoU through the SAM1-task path (eval/eval_coco.py analog)
     encode = lambda im: model.apply(variables, im, method=model.encode_image)
     predictor = InteractiveImagePredictor(tracker, tvars, encode)
@@ -183,6 +207,7 @@ def model_metrics(checkpoint=None, trained=None):
         "weights": weights,
         "cgF1": cg["cgF1"], "IL_MCC": cg["IL_MCC"],
         "positive_micro_F1": cg["positive_micro_F1"],
+        "mask_AP": m["AP"], "mask_AP50": m["AP50"],
         "box_prompt_miou": miou["miou"],
         "num_pairs": len(pairs),
     }

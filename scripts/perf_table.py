@@ -70,6 +70,14 @@ def render(rounds):
         if all(v is None for v in vals):
             continue
         lines.append(f"| {label} | " + " | ".join(fmt(v) for v in vals) + " |")
+    lines.append("")
+    lines.append(
+        "r1's number predates the forced-execution methodology (the tunnel's "
+        "`block_until_ready` returns before the chip runs; r1 measured "
+        "dispatch, not compute) — r2 onward are true device step times. "
+        "MFU figures before r3 used v5e's int8 peak (394 TF/s) and read "
+        "half the true bf16 utilization."
+    )
     return "\n".join(lines)
 
 

@@ -150,10 +150,16 @@ def train_detector(model, variables, batch, steps, scan_len, lr):
         )
         metrics = {k: np.asarray(v) for k, v in metrics.items()}
         ls = metrics["loss"]
+        parts = sorted(
+            ((k[5:], float(v[-1])) for k, v in metrics.items()
+             if k.startswith("loss_")),
+            key=lambda kv: -kv[1],
+        )[:4]
         print(
             f"[detector] step {step0 + scan_len:5d}/{steps} "
             f"loss {ls[-1]:.4f} (chunk mean {ls.mean():.4f}) "
             f"gnorm {metrics['grad_norm'][-1]:.2f} "
+            f"top[{', '.join(f'{k}={v:.2f}' for k, v in parts)}] "
             f"{time.time() - t0:.0f}s",
             flush=True,
         )
