@@ -30,13 +30,21 @@ def _draw_disk(img, mask, cx, cy, r, color):
     mask |= m
 
 
-def make_shapes_fixture(num_images: int = 8, size: int = 112, seed: int = 0):
+def make_shapes_fixture(num_images: int = 8, size: int = 112, seed: int = 0,
+                        r_lo: int | None = None, r_hi: int | None = None):
     """Returns (images (N,H,W,3) uint8, gold_gt dict, pair list).
 
     Each image gets 0-3 red squares and 0-3 blue disks; per query there is
     one gold-style image entry (pair id = image_index * 2 + query_index).
+    Shape half-size defaults to size//14 .. size//7 (the historical 8..16
+    at size 112); pass r_lo/r_hi for larger/smaller objects.
     """
     rng = np.random.default_rng(seed)
+    if r_lo is None:
+        r_lo = max(size // 14, 4)
+    if r_hi is None:
+        r_hi = max(size // 7, r_lo + 2)
+    margin = r_hi + 2
     images = []
     gt_images, gt_anns = [], []
     pairs = []  # (pair_id, image_index, query)
@@ -49,16 +57,18 @@ def make_shapes_fixture(num_images: int = 8, size: int = 112, seed: int = 0):
         for _ in range(n_sq):
             m = np.zeros((size, size), bool)
             _draw_square(
-                img, m, int(rng.integers(15, size - 15)),
-                int(rng.integers(15, size - 15)), int(rng.integers(8, 16)),
+                img, m, int(rng.integers(margin, size - margin)),
+                int(rng.integers(margin, size - margin)),
+                int(rng.integers(r_lo, r_hi)),
                 (210, 40, 40),
             )
             shape_masks[QUERIES[0]].append(m)
         for _ in range(n_ds):
             m = np.zeros((size, size), bool)
             _draw_disk(
-                img, m, int(rng.integers(15, size - 15)),
-                int(rng.integers(15, size - 15)), int(rng.integers(7, 14)),
+                img, m, int(rng.integers(margin, size - margin)),
+                int(rng.integers(margin, size - margin)),
+                int(rng.integers(max(r_lo - 1, 3), r_hi - 1)),
                 (40, 60, 210),
             )
             shape_masks[QUERIES[1]].append(m)

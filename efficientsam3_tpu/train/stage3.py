@@ -38,6 +38,11 @@ class Stage3Config:
     # have no pretrained heads to freeze — train_all=True puts the heads in
     # the 'vision' group instead.
     train_all: bool = False
+    # 'inverse_sqrt' (reference stage-3 recipe) or 'cosine' (decay to ~0 at
+    # `timescale` steps — what an overfit-to-convergence run needs; the
+    # inverse-sqrt schedule is CONSTANT while step < timescale, so short
+    # runs never see decay and box refinement stalls at an lr-noise floor).
+    schedule: str = "inverse_sqrt"
 
 
 def param_labels(params, train_all: bool = False):
@@ -66,14 +71,24 @@ def inverse_sqrt_schedule(base_lr: float, warmup: int, timescale: int):
     return fn
 
 
+def cosine_schedule(base_lr: float, warmup: int, total: int):
+    def fn(step):
+        warm = jnp.minimum(step / jnp.maximum(warmup, 1), 1.0)
+        frac = jnp.clip((step - warmup) / jnp.maximum(total - warmup, 1), 0.0, 1.0)
+        return base_lr * warm * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+
+    return fn
+
+
 def make_stage3_optimizer(cfg: Stage3Config, params):
     labels = param_labels(params, cfg.train_all)
+    sched = cosine_schedule if cfg.schedule == "cosine" else inverse_sqrt_schedule
 
     def group(lr):
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(
-                inverse_sqrt_schedule(lr, cfg.warmup_steps, cfg.timescale),
+                sched(lr, cfg.warmup_steps, cfg.timescale),
                 weight_decay=cfg.weight_decay,
             ),
         )

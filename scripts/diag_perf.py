@@ -23,12 +23,145 @@ import jax.numpy as jnp
 from bench import two_point_step_time
 
 
+def tracker_breakdown():
+    """Time each piece of the cached tracker step at 8 slots: memory
+    attention (cached), SAM heads, encode_memory, new-entry k/v projection."""
+    import numpy as np
+
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
+
+    _, tracker = build_efficientsam3_video_model(
+        backbone_type="efficientvit", model_name="b1",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=32,
+        dtype=jnp.bfloat16,
+    )
+    from efficientsam3_tpu.video.tracker import init_tracker_variables
+
+    rng = jax.random.PRNGKey(0)
+    tvars = init_tracker_variables(tracker, rng)
+    fs, d, md = tracker.feat_size, tracker.d_model, tracker.mem_dim
+    s_obj, n_mem = 8, tracker.num_maskmem
+
+    rs = np.random.RandomState(0)
+    pos = jnp.asarray(rs.rand(fs * fs, d), jnp.float32)
+    mem = jnp.asarray(rs.rand(s_obj, n_mem, fs, fs, md), jnp.float32)
+    tpos = jnp.zeros((s_obj, n_mem), jnp.int32)
+    mvalid = jnp.ones((s_obj, n_mem), bool)
+    ptrs = jnp.asarray(rs.rand(s_obj, tracker.max_obj_ptrs, d), jnp.float32)
+    tdiff = jnp.ones((s_obj, tracker.max_obj_ptrs), jnp.float32)
+    pvalid = jnp.ones((s_obj, tracker.max_obj_ptrs), bool)
+    s0 = jnp.asarray(rs.rand(s_obj, 4 * fs, 4 * fs, d // 8), jnp.float32)
+    s1 = jnp.asarray(rs.rand(s_obj, 2 * fs, 2 * fs, d // 4), jnp.float32)
+
+    pe = jax.jit(lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv))
+    k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
+    k_bank = jnp.stack(k_entries, axis=2)
+    v_bank = jnp.stack(v_entries, axis=1)
+    delta = jax.jit(lambda v: tracker.apply(v, method=tracker.tpos_k_delta))(tvars)
+
+    def tok_of(seed):
+        return jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed),
+            (s_obj, fs * fs, d), jnp.float32,
+        )
+
+    def attn_sum(seed, v, pos, kb, vb, tpos, mvalid, ptrs, tdiff, pvalid, dl):
+        cond = tracker.apply(
+            v, tok_of(seed), pos, kb, vb, tpos, mvalid, ptrs, tdiff, pvalid,
+            dl, method=tracker.condition_features_cached,
+        )
+        return jnp.sum(cond.astype(jnp.float32)) * 1e-6
+
+    def heads_sum(seed, v, s0, s1):
+        pix = tok_of(seed).reshape(s_obj, fs, fs, d)
+        heads = tracker.apply(
+            v, pix, jnp.zeros((s_obj, 1, 2)), -jnp.ones((s_obj, 1), jnp.int32),
+            (s0, s1), True, method=tracker.forward_sam_heads,
+        )
+        return (jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+                + jnp.sum(heads["obj_ptr"].astype(jnp.float32)))
+
+    def encmem_sum(seed, v):
+        masks = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(12), seed),
+            (s_obj, 1, tracker.image_size, tracker.image_size), jnp.float32,
+        ) * 8 - 4
+        m = tracker.apply(v, tok_of(seed), masks, jnp.ones((s_obj, 1)), False,
+                          method=tracker.encode_memory)
+        return jnp.sum(m.astype(jnp.float32)) * 1e-6
+
+    def kv_sum(seed, v):
+        m = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(13), seed),
+            (s_obj, fs, fs, md), jnp.float32,
+        )
+        k, vr = tracker.apply(v, m, method=tracker.encode_memory_kv)
+        return (jnp.sum(k.astype(jnp.float32)) * 1e-6
+                + jnp.sum(vr.astype(jnp.float32)) * 1e-6)
+
+    for name, fn, n, fargs in (
+        ("memattn_cached", attn_sum, 16,
+         (tvars, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid, delta)),
+        ("sam_heads", heads_sum, 32, (tvars, s0, s1)),
+        ("encode_memory", encmem_sum, 32, (tvars,)),
+        ("encode_memory_kv", kv_sum, 32, (tvars,)),
+    ):
+        t = two_point_step_time(jax, jnp, fn, n, fargs) * 1e3
+        print(f"  tracker[{name}] = {t:.3f} ms", flush=True)
+
+
+def seg_breakdown():
+    """Isolate seg-head cost: pixel decoder convs, GN, mask einsum."""
+    import numpy as np
+
+    from efficientsam3_tpu.models.seg_head import UniversalSegmentationHead
+
+    head = UniversalSegmentationHead(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    b, d = 1, 256
+    f288 = jnp.zeros((b, 288, 288, d), jnp.bfloat16)
+    f144 = jnp.zeros((b, 144, 144, d), jnp.bfloat16)
+    enc = jnp.zeros((b, 72 * 72, d), jnp.bfloat16)
+    q = jnp.zeros((b, 400, d), jnp.bfloat16)
+    pr = jnp.zeros((b, 36, d), jnp.bfloat16)
+    pm = jnp.zeros((b, 36), bool)
+    hv = jax.jit(head.init)(rng, [f288, f144, jnp.zeros((b, 72, 72, d),
+                            jnp.bfloat16)], q, enc, pr, pm)
+
+    def run_sum(seed, v, nq):
+        key = jax.random.fold_in(jax.random.PRNGKey(5), seed)
+        a = jax.random.uniform(key, (b, 288, 288, d), jnp.bfloat16)
+        bq = jax.random.uniform(key, (b, nq, d), jnp.bfloat16)
+        e = jax.random.uniform(key, (b, 72 * 72, d), jnp.bfloat16)
+        out = head.apply(v, [a, f144, jnp.zeros((b, 72, 72, d), jnp.bfloat16)],
+                         bq, e, pr, pm)
+        return (jnp.sum(out["pred_masks"].astype(jnp.float32)) * 1e-6
+                + jnp.sum(out["semantic_seg"].astype(jnp.float32)) * 1e-6)
+
+    for nq in (400, 200, 8):
+        t = two_point_step_time(
+            jax, jnp, lambda s, v, q_=nq: run_sum(s, v, q_), 16, (hv,)
+        ) * 1e3
+        print(f"  seg_head[{nq} queries] = {t:.3f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--no-stages", action="store_true")
     ap.add_argument("--fusion", action="store_true")
+    ap.add_argument("--tracker", action="store_true",
+                    help="per-piece breakdown of the cached tracker step")
+    ap.add_argument("--seg", action="store_true",
+                    help="seg-head component micro-timings")
     args = ap.parse_args()
+
+    if args.tracker:
+        tracker_breakdown()
+        return
+    if args.seg:
+        seg_breakdown()
+        return
 
     from efficientsam3_tpu.build import build_efficientsam3_video_model
     from efficientsam3_tpu.models.geometry import Prompt

@@ -23,9 +23,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# force CPU: the sandbox exports JAX_PLATFORMS=axon (remote TPU tunnel), so
-# a setdefault would silently leave this harness running over the tunnel
+# force CPU: the sandbox exports JAX_PLATFORMS=axon (remote TPU tunnel).
+# The env var alone is NOT enough — the axon sitecustomize registers its
+# PJRT plugin regardless, and jax picks the TPU backend even with
+# JAX_PLATFORMS=cpu in the environment. jax.config.update before any
+# backend initialization is what actually pins the platform (same
+# mechanism as tests/conftest.py).
 os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault(
     "EFFICIENTSAM3_BPE_PATH",
     "/root/reference/sam3/assets/bpe_simple_vocab_16e6.txt.gz",
@@ -103,7 +110,12 @@ def model_metrics(checkpoint=None, trained=None):
         res, embed, ctx, name = 1008, 72, 32, "m"
     else:
         # the exact config scripts/train_overfit_quality.py trains
-        res, embed, ctx, name = 112, 8, 16, "b0"
+        from train_overfit_quality import MODEL_CFG
+
+        res, embed, ctx, name = (
+            MODEL_CFG["res"], MODEL_CFG["embed"], MODEL_CFG["ctx"],
+            MODEL_CFG["name"],
+        )
 
     model, tracker = build_efficientsam3_video_model(
         backbone_type="efficientvit", model_name=name,
@@ -144,7 +156,9 @@ def model_metrics(checkpoint=None, trained=None):
         weights = f"trained ({trained} @ step {det_step})"
 
     proc = Sam3Processor(model, variables, resolution=res, context_length=ctx)
-    images, gt, pairs = make_shapes_fixture(num_images=8, size=112, seed=3)
+    from train_overfit_quality import FIXTURE
+    images, gt, pairs = make_shapes_fixture(**FIXTURE)
+    fsz = images.shape[1]
 
     def predict(img, phrase, pair_id):
         state = proc.set_image(img)
@@ -183,14 +197,14 @@ def model_metrics(checkpoint=None, trained=None):
         by_pair_dt.setdefault(r["image_id"], []).append(r)
     for pair_id, i, q in pairs:
         recs = by_pair_dt.get(pair_id, [])
-        gts = [ann_to_mask(a, 112, 112) for a in by_pair_gt.get(pair_id, [])]
-        dts = [ann_to_mask(r, 112, 112) for r in recs]
+        gts = [ann_to_mask(a, fsz, fsz) for a in by_pair_gt.get(pair_id, [])]
+        dts = [ann_to_mask(r, fsz, fsz) for r in recs]
         if not gts and not dts:
             continue
         ev.add_image(
             1, [r["score"] for r in recs],
-            np.stack(dts) if dts else np.zeros((0, 112, 112), bool),
-            np.stack(gts) if gts else np.zeros((0, 112, 112), bool),
+            np.stack(dts) if dts else np.zeros((0, fsz, fsz), bool),
+            np.stack(gts) if gts else np.zeros((0, fsz, fsz), bool),
         )
     m = ev.summarize()
 
