@@ -392,10 +392,20 @@ class MultiheadAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, q, k, v, key_padding_mask=None, attn_mask=None):
+    def __call__(self, q, k, v, key_padding_mask=None, attn_mask=None,
+                 rpb=None, rpb_kernel=True):
         """key_padding_mask: (B, Nk) bool, True = PAD (torch convention).
 
         attn_mask: additive float (..., Nq, Nk) or bool (True = masked).
+
+        rpb: optional decomposed boxRPB bias (ey, ex, (h, w)) with
+        ey (B, heads, Nq, h), ex (B, heads, Nq, w) f32 and Nk == h*w, such
+        that bias[..., q, y*w+x] = ey[..., q, y] + ex[..., q, x]. On TPU at
+        inference this dispatches to a Pallas kernel that reconstitutes
+        bias tiles in VMEM (the materialized bias is ~532 MB/layer at
+        batch 8); otherwise the full bias is built for the einsum path.
+        Pass rpb_kernel=False to force the einsum path (training needs
+        gradients; the kernel is forward-only).
         """
         qp = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(q)
         kp = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(k)
@@ -403,6 +413,28 @@ class MultiheadAttention(nn.Module):
         qh = split_heads(qp, self.num_heads)
         kh = split_heads(kp, self.num_heads)
         vh = split_heads(vp, self.num_heads)
+        if rpb is not None:
+            assert attn_mask is None and key_padding_mask is None
+            ey, ex, feat_hw = rpb
+            if (
+                rpb_kernel
+                and not os.environ.get("EFFICIENTSAM3_NO_FLASH")
+                and jax.default_backend() == "tpu"
+            ):
+                from efficientsam3_tpu.ops.pallas.flash_attention import (
+                    flash_xattn_rpb,
+                )
+
+                out = flash_xattn_rpb(
+                    qh, kh, vh, ey, ex, feat_hw,
+                    1.0 / math.sqrt(qh.shape[-1]),
+                )
+                return nn.Dense(
+                    self.embed_dim, dtype=self.dtype, name="out_proj"
+                )(merge_heads(out))
+            attn_mask = (
+                ey[..., :, None] + ex[..., None, :]
+            ).reshape(*ey.shape[:3], feat_hw[0] * feat_hw[1])
         mask = None
         bias = None
         if key_padding_mask is not None:

@@ -100,7 +100,7 @@ class DecoderLayer(nn.Module):
         query_pos,  # (B, NQ, C)
         memory,  # (B, HW, C) image memory
         memory_pos,  # (B, HW, C) or None
-        cross_attn_bias,  # (B, heads, 1+NQ, HW) additive, or None
+        rpb,  # decomposed boxRPB bias (ey, ex, (h, w)) or None
         memory_text=None,  # (B, T, C)
         text_key_padding_mask=None,  # (B, T) True = pad
         presence_token=None,  # (B, 1, C) or None
@@ -159,7 +159,7 @@ class DecoderLayer(nn.Module):
         t2 = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
             name="cross_attn",
-        )(tgt + query_pos_full, k, memory, attn_mask=cross_attn_bias)
+        )(tgt + query_pos_full, k, memory, rpb=rpb, rpb_kernel=not train)
         tgt = tgt + do(t2)
         tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
 
@@ -219,10 +219,15 @@ class TransformerDecoder(nn.Module):
             for i in range(self.num_layers)
         ]
 
-    def _rpb_bias(self, reference_boxes, feat_hw):
-        """(B, NQ, 4) cxcywh in [0,1] -> (B, heads, NQ, H*W) additive bias.
+    def _rpb_decomposed(self, reference_boxes, feat_hw):
+        """(B, NQ, 4) cxcywh in [0,1] -> (ey (B, nh, NQ, H), ex (B, nh, NQ, W)).
 
-        reference decoder.py:333 _get_rpb_matrix, boxRPB='log'.
+        reference decoder.py:333 _get_rpb_matrix, boxRPB='log'. The full
+        (B, nh, NQ, H*W) bias is the outer sum ey[..., y] + ex[..., x]; it
+        is never materialized here — the attention either reconstitutes
+        tiles in VMEM (flash_xattn_rpb) or builds it right before the
+        einsum. Only the small (B, NQ, H|W, nh) -> heads-first transposes
+        happen in HBM (a few MB, vs ~532 MB/layer for the batch-8 bias).
         """
         h, w = feat_hw
         boxes = box_cxcywh_to_xyxy(reference_boxes)  # (B, NQ, 4)
@@ -242,9 +247,7 @@ class TransformerDecoder(nn.Module):
             dy = jnp.concatenate([dy, logmap(dy)], axis=-1)
         ex = self.boxRPB_embed_x(dx)  # (B, NQ, W, heads)
         ey = self.boxRPB_embed_y(dy)  # (B, NQ, H, heads)
-        bias = ey[:, :, :, None, :] + ex[:, :, None, :, :]  # (B, NQ, H, W, nh)
-        bias = bias.reshape(*bias.shape[:2], h * w, self.num_heads)
-        return bias.transpose(0, 3, 1, 2)  # (B, nh, NQ, HW)
+        return ey.transpose(0, 3, 1, 2), ex.transpose(0, 3, 1, 2)
 
     def __call__(
         self,
@@ -291,14 +294,16 @@ class TransformerDecoder(nn.Module):
         for li, layer in enumerate(self.layers):
             sine = gen_sineembed_for_position(ref, self.d_model)  # (B,NQ,2C)
             query_pos = self.ref_point_head(sine)
-            bias = None
+            rpb = None
             if self.box_rpb != "none":
-                bias = self._rpb_bias(ref, feat_hw)  # (B,nh,NQ,HW)
+                ey, ex = self._rpb_decomposed(ref, feat_hw)  # (B,nh,NQ,H|W)
                 if presence is not None:
-                    zero_row = jnp.zeros_like(bias[:, :, :1])
-                    bias = jnp.concatenate([zero_row, bias], axis=2)
+                    # presence token (query row 0) attends with zero bias
+                    ey = jnp.concatenate([jnp.zeros_like(ey[:, :, :1]), ey], axis=2)
+                    ex = jnp.concatenate([jnp.zeros_like(ex[:, :, :1]), ex], axis=2)
+                rpb = (ey, ex, feat_hw)
             output, presence = layer(
-                output, query_pos, memory, memory_pos, bias,
+                output, query_pos, memory, memory_pos, rpb,
                 memory_text=memory_text,
                 text_key_padding_mask=text_key_padding_mask,
                 presence_token=presence,

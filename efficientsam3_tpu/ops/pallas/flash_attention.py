@@ -481,6 +481,160 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=1024,
     return out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq]
 
 
+def _xattn_rpb_kernel(q_ref, k_ref, v_ref, ey_ref, ex_ref, yoh_ref, xoh_ref,
+                      o_ref, acc_ref, m_ref, l_ref, *, sm_scale: float,
+                      blocks_k: int):
+    """Cross-attention with a DECOMPOSED boxRPB bias (see flash_xattn_rpb).
+
+    The (bq, bk) bias tile is reconstituted in VMEM from the per-query row
+    term ey (bq, 128) and column term ex (bq, 128) by two one-hot MXU
+    matmuls (exact selection: one nonzero 1.0 per one-hot row). Padded kv
+    rows select ey's sentinel lane 127, which the wrapper fills with
+    NEG_INF -- key masking costs nothing extra. The full (B, heads, NQ, HW)
+    bias never exists in HBM; at batch 8 that tensor is ~532 MB/layer and
+    made the decoder 131x slower than batch 1."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # (bq, bk) f32
+    # bias tile: ey @ Yoh^T + ex @ Xoh^T (one-hot selection on the MXU;
+    # runs at the input dtype -- exact in f32, ~2^-9 relative in bf16)
+    bias = jax.lax.dot_general(
+        ey_ref[0], yoh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        ex_ref[0], xoh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == blocks_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def flash_xattn_rpb(q, k, v, ey, ex, feat_hw, sm_scale=None, block_q=None,
+                    block_k=1024, interpret=False):
+    """Flash cross-attention with the decoder's boxRPB bias decomposed.
+
+    q (B,H,NQ,D); k, v (B,H,L,D) with L == h*w (row-major image tokens);
+    ey (B,H,NQ,h), ex (B,H,NQ,w) f32 additive terms such that
+    bias[b,n,q,y*w+x] = ey[b,n,q,y] + ex[b,n,q,x] (the reference's
+    _get_rpb_matrix outer sum, sam3/sam3/model/decoder.py:333-415).
+    Forward-only (inference); the training path keeps the einsum
+    formulation for gradients. fp32 online softmax, probs cast to v.dtype.
+    The bias one-hot matmuls run at q.dtype (bf16 in production: ~2^-9
+    relative rounding of bias terms; f32 inputs keep selection exact).
+    """
+    b, hn, lq, d = q.shape
+    h_img, w_img = feat_hw
+    lk = k.shape[2]
+    assert lk == h_img * w_img, (lk, feat_hw)
+    assert h_img < 128 and w_img < 128, feat_hw
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if block_q is None:
+        # one query block with minimal padding: NQ is 201/402, well under
+        # the 512 sweet spot -- padding to 512 would rerun the whole kv
+        # stream on dead query rows
+        block_q = min(-(-lq // 16) * 16, 512)
+    g = b * hn
+
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    lqp, lkp = lq + pad_q, lk + pad_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        ey = jnp.pad(ey, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        ex = jnp.pad(ex, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    # lane-pad the row/col terms to the 128-lane tile; ey lane 127 holds
+    # NEG_INF -- the sentinel selected by padded kv rows (key masking)
+    bt = q.dtype
+    ey = jnp.pad(ey.astype(jnp.float32), ((0, 0),) * 3 + ((0, 128 - h_img),))
+    ex = jnp.pad(ex.astype(jnp.float32), ((0, 0),) * 3 + ((0, 128 - w_img),))
+    ey = ey.at[..., 127].set(NEG_INF).astype(bt)
+    ex = ex.astype(bt)
+
+    # one-hot row/col selectors (constant-folded under jit); padded kv rows
+    # select ey's NEG_INF sentinel lane and an all-zero ex row
+    kv_idx = jnp.arange(lkp)
+    valid = kv_idx < lk
+    yoh = jax.nn.one_hot(
+        jnp.where(valid, kv_idx // w_img, 127), 128, dtype=bt
+    )
+    xoh = jax.nn.one_hot(
+        jnp.where(valid, kv_idx % w_img, 128), 128, dtype=bt
+    )
+    blocks_k = lkp // block_k
+
+    qg = q.reshape(g, lqp, d)
+    kg = k.reshape(g, lkp, d)
+    vg = v.reshape(g, lkp, d)
+    eyg = ey.reshape(g, lqp, 128)
+    exg = ex.reshape(g, lqp, 128)
+
+    grid = (g, lqp // block_q, blocks_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _xattn_rpb_kernel, sm_scale=sm_scale, blocks_k=blocks_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda gi, qi, ki: (gi, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, qi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda gi, qi, ki: (gi, ki, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda gi, qi, ki: (gi, qi, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda gi, qi, ki: (gi, qi, 0)),
+            pl.BlockSpec((block_k, 128), lambda gi, qi, ki: (ki, 0)),
+            pl.BlockSpec((block_k, 128), lambda gi, qi, ki: (ki, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda gi, qi, ki: (gi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, lqp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qg, kg, vg, eyg, exg, yoh, xoh)
+
+    return out.reshape(b, hn, lqp, d)[:, :, :lq]
+
+
 def _bwd_dq_kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                    lse_ref, delta_ref, dq_ref, acc_ref, *, sm_scale: float,
                    blocks_k: int, heads: int):

@@ -239,3 +239,51 @@ def test_flash_memattn_block_skipping_and_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("b,h,lq,hw", [
+    (1, 2, 33, (6, 9)),    # odd NQ (200 queries + presence), kv padding
+    (2, 4, 64, (8, 8)),
+])
+def test_flash_xattn_rpb_matches_einsum(b, h, lq, hw):
+    """Decomposed boxRPB kernel == einsum with the materialized outer-sum
+    bias (the decoder's image cross-attention, decoder.py:333-415)."""
+    from efficientsam3_tpu.ops.pallas.flash_attention import flash_xattn_rpb
+
+    hi, wi = hw
+    lk = hi * wi
+    d = 32
+    q, k, v = _rand((b, h, lq, d)), _rand((b, h, lk, d)), _rand((b, h, lk, d))
+    ey = _rand((b, h, lq, hi)) * 2.0
+    ex = _rand((b, h, lq, wi)) * 2.0
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    bias = (ey[..., :, None] + ex[..., None, :]).reshape(b, h, lq, lk)
+    probs = jax.nn.softmax(logits + bias, axis=-1)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    got = flash_xattn_rpb(q, k, v, ey, ex, hw, block_q=32, block_k=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flash_xattn_rpb_bf16():
+    from efficientsam3_tpu.ops.pallas.flash_attention import flash_xattn_rpb
+
+    b, h, lq, (hi, wi) = 1, 2, 16, (4, 8)
+    lk, d = hi * wi, 32
+    q = _rand((b, h, lq, d), jnp.bfloat16)
+    k = _rand((b, h, lk, d), jnp.bfloat16)
+    v = _rand((b, h, lk, d), jnp.bfloat16)
+    ey, ex = _rand((b, h, lq, hi)), _rand((b, h, lq, wi))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / np.sqrt(d)
+    bias = (ey[..., :, None] + ex[..., None, :]).reshape(b, h, lq, lk)
+    probs = jax.nn.softmax(logits + bias, axis=-1).astype(jnp.bfloat16)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    got = flash_xattn_rpb(q, k, v, ey, ex, (hi, wi), block_q=16, block_k=32,
+                          interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
