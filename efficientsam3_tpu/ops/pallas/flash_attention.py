@@ -864,7 +864,9 @@ def _auto_blocks(lq, lk, d, packed=False):
       2624x512 measured 10.7 but compiles at ~131% of the 16 MB VMEM
       budget and OOMs depending on scheduling - not robust)."""
     if packed:
-        return 512, 256
+        # r4 re-sweep at the fusion shape (1,8,5184,32): 512x512 = 0.566 ms
+        # (the d=32 structural ceiling) vs 512x256 = 1.02, 1024x512 = 0.87
+        return 512, 512
     if d <= 64:
         return 512, 2048
     if lk >= 4 * lq:
@@ -884,7 +886,8 @@ def flash_sdpa(q, k, v, key_bias, sm_scale=None, block_q=None, block_k=None,
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     h, d = q.shape[1], q.shape[-1]
-    packed = d < 128 and _packed_ok(h, d)
+    packed = (d < 128 and _packed_ok(h, d)
+              and not os.environ.get("EFFICIENTSAM3_NO_PACKED"))
     bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], d, packed)
     fwd = _flash_fwd_packed if packed else _flash_fwd
     return fwd(q, k, v, key_bias, sm_scale, block_q or bq,
@@ -895,7 +898,8 @@ def _fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
     h, d = q.shape[1], q.shape[-1]
-    packed = d < 128 and _packed_ok(h, d)
+    packed = (d < 128 and _packed_ok(h, d)
+              and not os.environ.get("EFFICIENTSAM3_NO_PACKED"))
     bq, bk = _auto_blocks(q.shape[-2], k.shape[-2], d, packed)
     fn = _flash_fwd_packed if packed else _flash_fwd
     out, lse = fn(q, k, v, key_bias, sm_scale, block_q or bq, block_k or bk,
