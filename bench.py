@@ -182,7 +182,12 @@ def main():
 
     # ---- per-stage breakdown (VERDICT r2 #6): cumulative prefixes of the
     # grounding program, differenced into stage costs. Each prefix is its
-    # own scanned program; unused later stages dead-code-eliminate.
+    # own scanned program; unused later stages dead-code-eliminate. Every
+    # prefix consumes ALL fpn levels: the 288^2/144^2 neck branches feed
+    # only the seg head, so prefixes that dropped them would DCE the
+    # high-res neck and misattribute its cost to the seg bucket (this is
+    # exactly what made r3's seg_head read 3.65 ms vs its true ~2 —
+    # VERDICT r3 weak #2).
     def prefix_sum(seed, v, what):
         x = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(7), seed),
@@ -191,13 +196,21 @@ def main():
         if what == "trunk":
             r = model.apply(v, x, method=lambda m, a: m.trunk(a, train=False))
             return jnp.sum(r.astype(jnp.float32)) * 1e-6
+        img_out = model.apply(v, x, method=model.encode_image)
+        acc = sum(
+            jnp.sum(f.astype(jnp.float32)) for f in img_out["fpn"]
+        ) * 1e-6
         if what == "image":
-            r = model.apply(v, x, method=model.encode_image)
-            return sum(jnp.sum(f.astype(jnp.float32)) for f in r["fpn"]) * 1e-6
-        out = model.apply(v, x, tokens, prompt, stage=what)
-        acc = jnp.sum(out["encoder_hidden_states"].astype(jnp.float32)) * 1e-6
+            return acc
+        tmem, tmask = model.apply(v, tokens, method=model.encode_text)
+        out = model.apply(
+            v, img_out["fpn"], img_out["pos"], tmem, tmask, prompt,
+            stage=what, method=model.ground,
+        )
+        acc += jnp.sum(out["encoder_hidden_states"].astype(jnp.float32)) * 1e-6
         if what == "decoder":
             acc += jnp.sum(out["pred_logits"].astype(jnp.float32))
+            acc += jnp.sum(out["pred_boxes"].astype(jnp.float32))
         return acc
 
     cum = {}
@@ -313,6 +326,76 @@ def main():
     extras["tracker_step_cached_ms_frame"] = round(
         two_point_step_time(jax, jnp, track_cached_sum, 32, tcargs) * 1e3, 3
     )
+
+    # ---- full video-PCS frame (VERDICT r3 #5): the device work of ONE
+    # video/pipeline.py _step at 8 tracked objects — detector grounding +
+    # score*presence postprocess + mask NMS (step 1), cached tracker
+    # propagation (step 2), det-vs-track mask-IoU association matrix
+    # (step 3), hole filling on the emitted masks (step 5) — fused into one
+    # scanned program, exactly what a locally-attached production pipeline
+    # compiles per frame. Host-side heuristics (keep-alive bookkeeping,
+    # 20x8 Hungarian) are numpy-microseconds and excluded.
+    # Reference: sam3/sam3/model/sam3_video_base.py:151 _det_track_one_frame.
+    from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores
+    from efficientsam3_tpu.ops.masks import mask_iou, nms_masks
+
+    n_dets = 20
+
+    def video_pcs_sum(seed, v, tv, pos, k_es, v_es, tpos, mvalid, ptrs,
+                      tdiff, pvalid, s0, s1, delta):
+        x = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(23), seed),
+            (1, 1008, 1008, 3), jnp.float32,
+        )
+        # step 1: detection + postprocess + NMS (fixed top-20 det slots)
+        o = model.apply(v, x, tokens, prompt)
+        scores = jax.nn.sigmoid(o["pred_logits"][..., 0]) * jax.nn.sigmoid(
+            o["presence_logit_dec"].reshape(1, 1)
+        )
+        top_s, top_i = jax.lax.top_k(scores[0], n_dets)
+        det_masks = o["pred_masks"][0][top_i] > 0  # (20, 288, 288)
+        det_valid = top_s >= 0.5
+        keep = nms_masks(det_masks, top_s, 0.7) & det_valid
+        # step 2: cached tracker propagation for the 8 slots
+        tok = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed),
+            (s_obj, fs * fs, d), jnp.float32,
+        )
+        k_bank = jnp.stack(k_es, axis=2)
+        v_bank = jnp.stack(v_es, axis=1)
+        cond = tracker.apply(
+            tv, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
+            delta, method=tracker.condition_features_cached,
+        )
+        pix = cond.reshape(s_obj, fs, fs, d)
+        heads = tracker.apply(
+            tv, pix, jnp.zeros((s_obj, 1, 2)), -jnp.ones((s_obj, 1), jnp.int32),
+            (s0, s1), True, method=tracker.forward_sam_heads,
+        )
+        mem_new = tracker.apply(
+            tv, tok, heads["high_res_masks"], heads["object_score_logits"],
+            False, method=tracker.encode_memory,
+        )
+        k_new, v_new = tracker.apply(tv, mem_new, method=tracker.encode_memory_kv)
+        # step 3: association IoU matrix (dets x tracks)
+        trk_masks = heads["low_res_masks"][:, 0] > 0  # (8, 288, 288)
+        ious = mask_iou(det_masks & keep[:, None, None], trk_masks)
+        # step 5: hole-fill the emitted track masks
+        emitted = jax.vmap(
+            lambda m: fill_holes_in_mask_scores(m, 16)
+        )(heads["low_res_masks"][:, 0])
+        return (
+            jnp.sum(ious.astype(jnp.float32))
+            + jnp.sum(emitted.astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
+            + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
+            + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
+        )
+
+    vp_args = (variables,) + tcargs
+    vp_ms = two_point_step_time(jax, jnp, video_pcs_sum, 8, vp_args) * 1e3
+    extras["video_pcs_ms_frame"] = round(vp_ms, 3)
+    extras["video_pcs_fps"] = round(1e3 / vp_ms, 1)
 
     # ---- SAM1-task point prompt encode+decode (the stated north star is
     # "EV-M point-prompt encode+decode < 10 ms/frame on one v5e chip":

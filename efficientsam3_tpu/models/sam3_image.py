@@ -180,8 +180,16 @@ class Sam3ImageModel(nn.Module):
 
         # segmentation head on last-layer queries
         seg = self.seg_head(
-            fpn, hs[-1], memory, full_prompt, full_mask, train=train
+            fpn, hs[-1], memory, full_prompt, full_mask, train=train,
+            stage=stage,
         )
+        if stage in ("segxattn", "pixdec"):
+            return {
+                "pred_logits": logits[-1],
+                "pred_boxes": boxes[-1],
+                "pred_masks": seg["pred_masks"],
+                "encoder_hidden_states": memory,
+            }
 
         nq = self.num_queries
         out = {

@@ -57,8 +57,11 @@ class PixelDecoder(nn.Module):
                 self.hidden_dim, (3, 3), padding=1, dtype=self.dtype,
                 name=f"conv_layers_{i}",
             )(prev)
+            # dtype=self.dtype keeps the 288^2 map in bf16 through the norm
+            # (flax computes the mean/var statistics in f32 regardless);
+            # dtype=None would promote to f32 and double the HBM traffic
             prev = nn.GroupNorm(
-                num_groups=8, epsilon=1e-5, name=f"norms_{i}"
+                num_groups=8, epsilon=1e-5, dtype=self.dtype, name=f"norms_{i}"
             )(prev)
             prev = jax.nn.relu(prev)
         return prev
@@ -81,6 +84,7 @@ class UniversalSegmentationHead(nn.Module):
         prompt_mask=None,  # (B, T) True = pad
         *,
         train: bool = False,
+        stage: Optional[str] = None,  # 'segxattn'/'pixdec' profiling stops
     ):
         d = self.hidden_dim
         b, hw, _ = encoder_hidden_states.shape
@@ -95,6 +99,9 @@ class UniversalSegmentationHead(nn.Module):
             )(t2, prompt, prompt, key_padding_mask=prompt_mask)
             encoder_hidden_states = t2 + encoder_hidden_states
 
+        if stage == "segxattn":
+            return {"pred_masks": encoder_hidden_states, "semantic_seg": None}
+
         # replace the coarsest FPN level with the encoder tokens
         h, w = backbone_feats[-1].shape[1:3]
         assert h * w == hw, "encoder memory must match coarsest FPN level"
@@ -108,6 +115,8 @@ class UniversalSegmentationHead(nn.Module):
         semantic_seg = nn.Conv(1, (1, 1), dtype=self.dtype, name="semantic_seg_head")(
             pixel_embed
         )
+        if stage == "pixdec":
+            return {"pred_masks": instance_embeds, "semantic_seg": semantic_seg}
 
         mask_embed = MLP(d, d, 3, name="mask_embed")(obj_queries)  # (B, NQ, C)
         masks = jnp.einsum(

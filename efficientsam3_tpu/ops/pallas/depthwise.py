@@ -36,7 +36,7 @@ def _dw_kernel(x_ref, w_ref, b_ref, o_ref, *, k: int):
             acc = acc + w_ref[di, dj] * xp[di:di + h, dj:dj + w, :].astype(
                 jnp.float32
             )
-    o_ref[0] = (acc + b_ref[:]).astype(o_ref.dtype)
+    o_ref[0] = (acc + b_ref[0]).astype(o_ref.dtype)
 
 
 def _dw_call(x, kernel, bias, interpret):
@@ -53,12 +53,14 @@ def _dw_call(x, kernel, bias, interpret):
         in_specs=[
             pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j)),
             pl.BlockSpec((k, k, cb), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((cb,), lambda i, j: (j,)),
+            # bias as (1, C): 1-D blocks of a 1-D operand hit an XLA-vs-
+            # Mosaic tiling mismatch (T(256) vs T(128)) on real TPU
+            pl.BlockSpec((1, cb), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((1, h, w, cb), lambda i, j: (i, 0, 0, j)),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, wk, bias.astype(jnp.float32))
+    )(x, wk, bias.astype(jnp.float32).reshape(1, -1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

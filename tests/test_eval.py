@@ -130,11 +130,14 @@ def test_coco_map_unmatched_det_outside_range_ignored():
 
 
 def test_coco_map_vs_recorded_pycocotools():
-    """Cross-check against a RECORDED pycocotools run. The fixture is
-    produced by scripts/make_pycoco_fixture.py in an environment that has
-    pycocotools (not this image — skipped until the file is checked in);
-    until then coco_map's fidelity rests on the hand-derived tests above.
-    Reference oracle: sam3/sam3/eval/coco_eval.py:42."""
+    """Cross-check against an ORACLE fixture. The checked-in fixture is
+    derived analytically — every IoU an exact rational strictly between
+    the 0.5:0.05:0.95 thresholds, AP/AR computed on paper following the
+    pycocotools algorithm (full derivation in
+    scripts/make_pycoco_analytic_fixture.py). When an environment with
+    pycocotools exists, scripts/make_pycoco_fixture.py re-records the same
+    file from the real library. Reference oracle:
+    sam3/sam3/eval/coco_eval.py:42."""
     import json
     import os
 
