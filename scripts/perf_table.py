@@ -19,6 +19,8 @@ import re
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- AUTOGEN:BENCH_TABLE begin (scripts/perf_table.py) -->"
 END = "<!-- AUTOGEN:BENCH_TABLE end -->"
+RM_BEGIN = "<!-- AUTOGEN:README_STATUS begin (scripts/perf_table.py) -->"
+RM_END = "<!-- AUTOGEN:README_STATUS end -->"
 
 ROWS = [
     ("grounding ms/frame (1008², b1, text prompt)", lambda p, e: p.get("value")),
@@ -33,6 +35,8 @@ ROWS = [
     ("tracker step ms/frame (8 slots)", lambda p, e: e.get("tracker_step_ms_frame")),
     ("tracker step, cached K/V ms/frame", lambda p, e: e.get("tracker_step_cached_ms_frame")),
     ("SAM1 point prompt ms/frame", lambda p, e: e.get("sam1_point_prompt_ms_frame")),
+    ("video-PCS frame ms (det+track, 8 obj)", lambda p, e: e.get("video_pcs_ms_frame")),
+    ("video-PCS FPS", lambda p, e: e.get("video_pcs_fps")),
     ("end-to-end ms/frame (uint8 in, masks out)", lambda p, e: e.get("e2e_ms_frame")),
     ("tunnel RTT ms (not in step times)", lambda p, e: e.get("rtt_ms")),
 ]
@@ -81,29 +85,90 @@ def render(rounds):
     return "\n".join(lines)
 
 
+def render_readme(rounds):
+    """Compact latest-round status lines for README.md (between the
+    AUTOGEN:README_STATUS markers). Prose stays qualitative; every number
+    in the README comes from the latest BENCH_r*.json through here."""
+    if not rounds:
+        return "(no BENCH_r*.json yet)"
+    n, p = rounds[-1]
+    e = p.get("extras") or {}
+    sm = e.get("stage_ms") or {}
+    lines = [f"Latest bench of record: `BENCH_r{n:02d}.json` (one v5e chip, bf16)."]
+    lines.append("")
+
+    def add(label, val, unit=""):
+        if val is not None:
+            lines.append(f"- {label}: **{val}{unit}**")
+
+    add("EV-M text grounding (1008², batch 1)", p.get("value"), " ms/frame")
+    add("vs the 10 ms north star", p.get("vs_baseline"), "×")
+    add("grounding MFU", e.get("grounding_mfu_pct"), "%")
+    if sm:
+        order = [
+            ("trunk", "trunk"), ("neck", "neck"),
+            ("text_geo_fusion", "text+geo+fusion"),
+            ("decoder_scoring", "decoder"), ("seg_head", "seg head"),
+        ]
+        parts = " | ".join(
+            f"{lbl} {sm[k]}" for k, lbl in order if k in sm
+        )
+        lines.append(f"- stage breakdown (ms): {parts}")
+    add("batch-8 grounding throughput", e.get("batch8_throughput_img_s"),
+        " img/s")
+    add("SAM1-task point prompt (the stated north star)",
+        e.get("sam1_point_prompt_ms_frame"), " ms/frame")
+    add("tracker step, 8 slots (plain / cached K/V)",
+        (f'{e.get("tracker_step_ms_frame")} / '
+         f'{e.get("tracker_step_cached_ms_frame")}')
+        if e.get("tracker_step_ms_frame") is not None else None, " ms/frame")
+    add("full video-PCS frame (detect+track+associate, 8 objects)",
+        e.get("video_pcs_ms_frame"), " ms/frame")
+    if e.get("video_pcs_fps") is not None:
+        lines[-1] += f" ({e['video_pcs_fps']} FPS)"
+    add("end-to-end (uint8 in, masks out)", e.get("e2e_ms_frame"), " ms/frame")
+    lines.append("")
+    lines.append(
+        "Full per-round table: `docs/performance.md`. Regenerate both "
+        "blocks with `python scripts/perf_table.py --write` after a bench "
+        "round lands (tests/test_docs_current.py fails loudly if they rot)."
+    )
+    return "\n".join(lines)
+
+
+def splice(text, begin, end, block):
+    if begin in text:
+        return re.sub(
+            re.escape(begin) + r".*?" + re.escape(end), block, text, flags=re.S
+        )
+    return text.rstrip() + "\n\n" + block + "\n"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
 
-    table = render(load_rounds())
+    rounds = load_rounds()
+    table = render(rounds)
     block = f"{BEGIN}\n\n{table}\n\n{END}"
+    rm_block = f"{RM_BEGIN}\n{render_readme(rounds)}\n{RM_END}"
     if not args.write:
         print(block)
+        print()
+        print(rm_block)
         return
     doc = os.path.join(ROOT, "docs", "performance.md")
     with open(doc) as f:
         text = f.read()
-    if BEGIN in text:
-        text = re.sub(
-            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
-        )
-    else:
-        title = "## Measured numbers by round\n\n"
-        text = text.rstrip() + "\n\n" + title + block + "\n"
     with open(doc, "w") as f:
-        f.write(text)
-    print(f"updated {doc}")
+        f.write(splice(text, BEGIN, END, block))
+    readme = os.path.join(ROOT, "README.md")
+    with open(readme) as f:
+        text = f.read()
+    with open(readme, "w") as f:
+        f.write(splice(text, RM_BEGIN, RM_END, rm_block))
+    print(f"updated {doc} and {readme}")
 
 
 if __name__ == "__main__":
