@@ -93,12 +93,29 @@ def make_scanned(jax, jnp, step_sum, n):
     return run
 
 
+def _forced(run, args, attempts=4):
+    """Run + fetch with retries: the tunnel's remote-compile endpoint
+    occasionally drops a response mid-body (INTERNAL: response body closed /
+    HTTP 5xx); the compile is stateless so a retry succeeds. Real compile
+    errors (Mosaic/HLO) are deterministic and still surface after the
+    retries burn through."""
+    last = None
+    for i in range(attempts):
+        try:
+            return float(run(*args))
+        except Exception as e:  # jax.errors.JaxRuntimeError and friends
+            last = e
+            if i == attempts - 1 or "INTERNAL" not in str(e):
+                raise
+            time.sleep(2.0 * (i + 1))
+    raise last
+
+
 def time_forced(run, args, repeats=3):
     best = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        s = run(*args)
-        float(s)  # forced execution + single fetch
+        _forced(run, args)  # forced execution + single fetch
         wall = time.perf_counter() - t0
         best = wall if best is None else min(best, wall)
     return best
@@ -108,8 +125,8 @@ def two_point_step_time(jax, jnp, step_sum, n, args=()):
     """Pure per-step device time via (t_2n - t_n) / n."""
     run_n = make_scanned(jax, jnp, step_sum, n)
     run_2n = make_scanned(jax, jnp, step_sum, 2 * n)
-    float(run_n(*args))  # compile both
-    float(run_2n(*args))
+    _forced(run_n, args)  # compile both
+    _forced(run_2n, args)
     t_n = time_forced(run_n, args)
     t_2n = time_forced(run_2n, args)
     return max(t_2n - t_n, 1e-9) / n

@@ -103,9 +103,12 @@ def make_stage3_optimizer(cfg: Stage3Config, params):
     )
 
 
-def stage3_train_step(model, tx, variables, opt_state, batch):
+def stage3_train_step(model, tx, variables, opt_state, batch,
+                      loss_weights=None):
     """batch: images (B, H, W, 3), tokens (B, L), prompt (Prompt),
-    targets dict (boxes/valid/masks)."""
+    targets dict (boxes/valid/masks). loss_weights: optional static
+    overrides merged over losses.DEFAULT_WEIGHTS (e.g. a higher
+    presence_loss for overfit-to-quality runs)."""
 
     def loss_fn(params):
         vars_in = dict(variables, params=params)
@@ -118,7 +121,9 @@ def stage3_train_step(model, tx, variables, opt_state, batch):
             mutable=["batch_stats"],
             rngs={"dropout": batch["rng"]},
         )
-        total, parts = sam3_detection_loss(outs, batch["targets"])
+        total, parts = sam3_detection_loss(
+            outs, batch["targets"], weights=loss_weights
+        )
         return total, (parts, mutated)
 
     (loss, (parts, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

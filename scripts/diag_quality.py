@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--embed", type=int, default=None)
     ap.add_argument("--name", default=None)
     ap.add_argument("--save", default=None, help="checkpoint dir to write")
+    ap.add_argument("--presence-weight", type=float, default=60.0)
     args = ap.parse_args()
 
     from efficientsam3_tpu.build import build_efficientsam3_video_model
@@ -66,8 +67,10 @@ def main():
           f"train res {res}, grid {embed}x{embed}")
 
     t0 = time.time()
-    variables = train_detector(model, variables, batch, args.steps,
-                               args.scan, args.lr)
+    variables = train_detector(
+        model, variables, batch, args.steps, args.scan, args.lr,
+        loss_weights={"presence_loss": args.presence_weight},
+    )
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
 
     if args.save:

@@ -108,6 +108,14 @@ def model_metrics(checkpoint=None, trained=None):
 
     if checkpoint:
         res, embed, ctx, name = 1008, 72, 32, "m"
+    elif trained and os.path.exists(os.path.join(trained, "config.json")):
+        # the resolved config train_overfit_quality.py recorded (supports
+        # the scaled 504²/b1/embed-36 runs)
+        import json as _json
+
+        with open(os.path.join(trained, "config.json")) as f:
+            c = _json.load(f)
+        res, embed, ctx, name = c["res"], c["embed"], c["ctx"], c["name"]
     else:
         # the exact config scripts/train_overfit_quality.py trains
         from train_overfit_quality import MODEL_CFG
@@ -219,6 +227,7 @@ def model_metrics(checkpoint=None, trained=None):
     )
     return {
         "weights": weights,
+        "config": {"res": res, "embed": embed, "ctx": ctx, "name": name},
         "cgF1": cg["cgF1"], "IL_MCC": cg["IL_MCC"],
         "positive_micro_F1": cg["positive_micro_F1"],
         "mask_AP": m["AP"], "mask_AP50": m["AP50"],

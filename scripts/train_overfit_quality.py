@@ -112,7 +112,8 @@ def build_fixture_batch(ctx: int, res: int):
     return batch, images, gt, pairs
 
 
-def train_detector(model, variables, batch, steps, scan_len, lr):
+def train_detector(model, variables, batch, steps, scan_len, lr,
+                   loss_weights=None):
     from efficientsam3_tpu.models.geometry import Prompt
     from efficientsam3_tpu.train.stage3 import (
         Stage3Config,
@@ -146,7 +147,9 @@ def train_detector(model, variables, batch, steps, scan_len, lr):
                     "is_exhaustive": jnp.ones((b,), bool),
                 },
             }
-            v, o, m = stage3_train_step(model, tx, v, o, full)
+            v, o, m = stage3_train_step(
+                model, tx, v, o, full, loss_weights=loss_weights
+            )
             return (v, o), m
 
         (variables, opt_state), metrics = jax.lax.scan(
@@ -343,17 +346,35 @@ def main():
     ap.add_argument("--scan", type=int, default=50)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--heads-lr", type=float, default=4e-4)
+    # r3 missed the cgF1>=0.8 bar with IL_MCC 0.745: negative (image, query)
+    # pairs weren't rejected — the presence token is the ONLY negative-pair
+    # supervision (classification loss is presence-gated off for no-GT
+    # samples, losses.iabce_classification_loss), so the overfit recipe
+    # weights it harder than the stage-3 production default (20).
+    ap.add_argument("--presence-weight", type=float, default=60.0)
+    ap.add_argument("--res", type=int, default=None)
+    ap.add_argument("--embed", type=int, default=None)
+    ap.add_argument("--name", default=None)
     args = ap.parse_args()
+
+    import json
 
     from efficientsam3_tpu.build import build_efficientsam3_video_model
     from efficientsam3_tpu.models.geometry import Prompt
     from efficientsam3_tpu.utils.checkpoint import save_checkpoint
     from efficientsam3_tpu.video.tracker import init_tracker_variables
 
-    # the exact eval_quality.py no-checkpoint config
+    # the exact eval_quality.py no-checkpoint config, with CLI overrides
+    # (e.g. --res 504 --embed 36 --name b1 for the one-rung-toward-flagship
+    # proof); the resolved config is written to <out>/config.json so
+    # eval_quality.py builds the same graph
     res, embed, ctx, name = (
-        MODEL_CFG["res"], MODEL_CFG["embed"], MODEL_CFG["ctx"], MODEL_CFG["name"]
+        args.res or MODEL_CFG["res"], args.embed or MODEL_CFG["embed"],
+        MODEL_CFG["ctx"], args.name or MODEL_CFG["name"],
     )
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        json.dump({"res": res, "embed": embed, "ctx": ctx, "name": name}, f)
     model, tracker = build_efficientsam3_video_model(
         backbone_type="efficientvit", model_name=name,
         text_encoder_type="MobileCLIP-S0", text_encoder_context_length=ctx,
@@ -373,7 +394,8 @@ def main():
           f"{int(np.asarray(batch['targets']['valid']).sum())} instances")
 
     variables = train_detector(
-        model, variables, batch, args.steps, args.scan, args.lr
+        model, variables, batch, args.steps, args.scan, args.lr,
+        loss_weights={"presence_loss": args.presence_weight},
     )
     variables = jax.device_get(variables)
     save_checkpoint(os.path.join(args.out, "detector"), args.steps, variables)
