@@ -57,6 +57,10 @@ NEG_INF = -1e9
 def _kernel(kvalid_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             acc_ref, m_ref, l_ref, *, sm_scale: float, blocks_k: int,
             heads: int):
+    # (keys live on LANES here, so the softmax reductions are cheap
+    # cross-lane ops; the ones-column denominator-folding used by the
+    # transposed kernels would add a 128-lane tile to V — +50% AV FLOPs at
+    # D=256 — for no VPU win. Keep the explicit sums.)
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -176,7 +180,7 @@ def _flash_fwd(q, k, v, key_bias, sm_scale, block_q, block_k, interpret,
 
 
 def _packed_kernel(kvalid_ref, qt_ref, k_ref, vt_ref, bias_ref, o_ref,
-                   lse_ref, acc_ref, m_ref, l_ref, *, sm_scale: float,
+                   lse_ref, acc_ref, m_ref, *, sm_scale: float,
                    blocks_k: int, groups_per_b: int, p: int, d: int):
     """Head-packed transposed flash attention for head_dim < 128.
 
@@ -204,7 +208,6 @@ def _packed_kernel(kvalid_ref, qt_ref, k_ref, vt_ref, bias_ref, o_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
 
     @pl.when(kvalid_ref[pl.program_id(0) // groups_per_b, ki] != 0)
     def _block():
@@ -223,30 +226,32 @@ def _packed_kernel(kvalid_ref, qt_ref, k_ref, vt_ref, bias_ref, o_ref,
         s3 = s_t.reshape(p, bk, bq) * sm_scale + bias_ref[0][None]
 
         m_prev = m_ref[:, :1, :]  # (p, 1, bq)
-        l_prev = l_ref[:, :1, :]
         m_cur = jnp.max(s3, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         pm = jnp.exp(s3 - m_new)  # (p, bk, bq) f32
         corr = jnp.exp(m_prev - m_new)  # (p, 1, bq)
-        l_ref[:] = jnp.broadcast_to(
-            l_prev * corr + jnp.sum(pm, axis=1, keepdims=True), l_ref.shape
-        )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
+        # softmax denominator folded into the AV matmul (8 appended ones
+        # rows per head): the explicit (p, bk -> 1, bq) SUBLANE reduction
+        # was pure VPU time on a VPU-bound kernel; row d of each head's
+        # product is the P column sum
         pmv = pm.astype(vt_ref.dtype)
         vt = vt_ref[0]  # (128, bk)
+        ones = jnp.ones((8, bk), vt_ref.dtype)
         for h in range(p):  # p small (4 at d=32); unrolled
+            vt_aug = jnp.concatenate([vt[h * d:(h + 1) * d, :], ones], axis=0)
             pv = jax.lax.dot_general(
-                vt[h * d:(h + 1) * d, :], pmv[h],
+                vt_aug, pmv[h],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (d, bq)
+            )  # (d+8, bq)
             acc_ref[h] = acc_ref[h] * corr[h] + pv
 
     @pl.when(ki == blocks_k - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:, :1, :], 1e-30)  # (p, 1, bq)
-        o = acc_ref[:] / l  # (p, d, bq)
+        l = jnp.maximum(acc_ref[:, d:d + 1, :], 1e-30)  # (p, 1, bq)
+        o = acc_ref[:, :d, :] / l  # (p, d, bq)
         o_ref[0] = o.reshape(p * d, bq).astype(o_ref.dtype)
         m = m_ref[:, :1, :]
         lse_ref[0] = jnp.where(m > NEG_INF / 2, m + jnp.log(l), NEG_INF)[
@@ -323,9 +328,8 @@ def _flash_fwd_packed(q, k, v, key_bias, sm_scale, block_q, block_k,
             jax.ShapeDtypeStruct((bg, p, lqp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((p, d, block_q), jnp.float32),
-            pltpu.VMEM((p, 8, block_q), jnp.float32),
-            pltpu.VMEM((p, 8, block_q), jnp.float32),
+            pltpu.VMEM((p, d + 8, block_q), jnp.float32),  # acc + folded l
+            pltpu.VMEM((p, 8, block_q), jnp.float32),  # running max
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -352,7 +356,7 @@ def flash_sdpa_packed(q, k, v, key_bias, sm_scale=None, block_q=512,
 
 
 def _memattn_kernel(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
-                    acc_ref, m_ref, l_ref, *, sm_scale: float,
+                    acc_ref, m_ref, *, sm_scale: float,
                     blocks_k: int, heads: int):
     """Transposed cross-attention with narrow values (dv != dk).
 
@@ -365,24 +369,31 @@ def _memattn_kernel(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
     output lanes — so this kernel runs fully transposed:
 
       S^T (bk, bq) = K_blk (bk, 256) @ Q^T (256, bq)   -- full 128-lane M/N
-      O^T (dv, bq) += V^T (dv, bk) @ P^T (bk, bq)      -- dv on sublanes
+      O^T (dv, bq) += [V^T; 1] (dv+8, bk) @ P^T (bk, bq) -- dv on sublanes
 
-    Online softmax reduces over axis 0 (keys on sublanes), as in
-    _packed_kernel. Forward-only: the cached-bank tracker path is
-    inference-only by construction (video/predictor.py).
+    Online softmax reduces over axis 0 (keys on sublanes). The softmax
+    DENOMINATOR is folded into the AV matmul as 8 appended ones rows
+    (row dv of the product is sum_k P^T): on this shape the kernel is
+    VPU-bound, and the explicit (bk -> 1) sublane reduction was ~25% of
+    the per-block VPU time — the MXU computes it for free. Denominator
+    and numerator then share the same bf16-rounded P (the einsum path
+    sums P in f32; ~2^-9 relative difference, inside the bf16 noise
+    floor). Forward-only: the cached-bank tracker path is inference-only
+    by construction (video/predictor.py).
     """
     ki = pl.program_id(2)
+    dv = o_ref.shape[1]
 
     @pl.when(ki == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
 
     @pl.when(kvalid_ref[pl.program_id(0) // heads, ki] != 0)
     def _block():
         kb = k_ref[0]  # (bk, dk) bf16
         qt = qt_ref[0]  # (dk, bq)
+        bk = kb.shape[0]
         s_t = jax.lax.dot_general(
             kb, qt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -390,29 +401,29 @@ def _memattn_kernel(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
         s_t = s_t * sm_scale + bias_ref[0]  # bias (bk, 1) broadcasts lanes
 
         m_prev = m_ref[:1, :]  # (1, bq)
-        l_prev = l_ref[:1, :]
         m_cur = jnp.max(s_t, axis=0, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s_t - m_new)  # (bk, bq) f32
         corr = jnp.exp(m_prev - m_new)  # (1, bq)
-        l_new = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
 
+        vt_aug = jnp.concatenate(
+            [vt_ref[0], jnp.ones((8, bk), vt_ref.dtype)], axis=0
+        )  # (dv+8, bk); row dv is the ones row -> P column sums
         pv = jax.lax.dot_general(
-            vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            vt_aug, p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (dv, bq) f32
+        )  # (dv+8, bq) f32
         acc_ref[:] = acc_ref[:] * corr + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(ki == blocks_k - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:1, :], 1e-30)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        l = jnp.maximum(acc_ref[dv:dv + 1, :], 1e-30)
+        o_ref[0] = (acc_ref[:dv] / l).astype(o_ref.dtype)
 
 
-def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=1024,
-                  block_k=512, interpret=False):
+def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
+                  block_k=None, interpret=False):
     """Forward-only flash attention with dv != dk (see _memattn_kernel).
 
     q (B,H,Lq,Dk); k (B,H,Lk,Dk); v (B,H,Lk,Dv) with Dv a multiple of 8;
@@ -423,6 +434,14 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=1024,
     lk, dv = k.shape[2], v.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(dk)
+    if block_q is None:
+        # bq is the LANE axis of this transposed kernel, so it must stay
+        # 128-aligned; pick the candidate with the least query padding
+        # (the old fixed 1024 padded the tracker's 5184 queries to 6144 —
+        # 18.5% dead lanes; 768 pads to 5376, 3.7%)
+        block_q = min((768, 896, 1024), key=lambda bq: (-lq) % bq)
+    if block_k is None:
+        block_k = 512
     g = b * h
 
     pad_q = (-lq) % block_q
@@ -468,9 +487,8 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=1024,
         ),
         out_shape=jax.ShapeDtypeStruct((g, dv, lqp), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((dv, block_q), jnp.float32),
-            pltpu.VMEM((8, block_q), jnp.float32),
-            pltpu.VMEM((8, block_q), jnp.float32),
+            pltpu.VMEM((dv + 8, block_q), jnp.float32),  # acc + folded l
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

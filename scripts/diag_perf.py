@@ -145,6 +145,81 @@ def seg_breakdown():
         print(f"  seg_head[{nq} queries] = {t:.3f} ms", flush=True)
 
 
+def trunk_breakdown():
+    """Cumulative-prefix timing of the EfficientViT-b1 trunk stages at
+    1008² — localizes the ~3.5 ms trunk cost (stem/stage1/2/3/4)."""
+    import flax.linen as fnn
+
+    from efficientsam3_tpu.models.efficientvit import (
+        ConvNormAct, DSConv, EfficientViTBlock, MBConv, efficientvit_b1,
+    )
+
+    net = efficientvit_b1(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 1008, 1008, 3), jnp.float32)
+    variables = jax.jit(net.init)(rng, x0)
+
+    # prefix runner: call the backbone but stop after `upto` top-level
+    # stages by monkey-layering: easiest is to re-run the full apply and
+    # sum an intermediate via capture_intermediates filtering — instead we
+    # exploit DCE: sum only the output of the first `upto` stages by
+    # re-declaring a sliced module graph is invasive; capture_intermediates
+    # keeps all, so do the simple thing: time nested prefixes with
+    # fnn.apply on a sliced copy of the backbone.
+    class Sliced(fnn.Module):
+        upto: str
+
+        @fnn.compact
+        def __call__(self, x):
+            w = (16, 32, 64, 128, 256)
+            d = (1, 2, 3, 3, 4)
+            x = ConvNormAct(w[0], 3, 2, norm="bn2d", act="hswish",
+                            dtype=jnp.bfloat16, name="stem_conv")(x)
+            for i in range(d[0]):
+                x = x + DSConv(w[0], 1, act=("hswish", None),
+                               dtype=jnp.bfloat16, name=f"stem_block_{i}")(x)
+            if self.upto == "stem":
+                return x
+            for s, (ws, ds) in enumerate(zip(w[1:3], d[1:3]), start=1):
+                for i in range(ds):
+                    stride = 2 if i == 0 else 1
+                    y = MBConv(ws, stride, 4.0,
+                               act=("hswish", "hswish", None),
+                               dtype=jnp.bfloat16,
+                               name=f"stage{s}_block_{i}")(x)
+                    x = y if stride == 2 else x + y
+                if self.upto == f"stage{s}":
+                    return x
+            for s, (ws, ds) in enumerate(zip(w[3:], d[3:]), start=3):
+                x = MBConv(ws, 2, 4.0, use_bias=(True, True, False),
+                           norm=(None, None, "bn2d"),
+                           act=("hswish", "hswish", None),
+                           dtype=jnp.bfloat16, name=f"stage{s}_down")(x)
+                for i in range(ds):
+                    x = EfficientViTBlock(head_dim=16, expand_ratio=4.0,
+                                          dtype=jnp.bfloat16,
+                                          name=f"stage{s}_block_{i}")(x)
+                if self.upto == f"stage{s}":
+                    return x
+            return x
+
+    prev = 0.0
+    for upto in ("stem", "stage1", "stage2", "stage3", "stage4"):
+        mod = Sliced(upto)
+
+        def run_sum(seed, v, m=mod):
+            x = jax.random.uniform(
+                jax.random.fold_in(jax.random.PRNGKey(7), seed),
+                (1, 1008, 1008, 3), jnp.float32,
+            )
+            r = m.apply(v, x)
+            return jnp.sum(r.astype(jnp.float32)) * 1e-6
+        t = two_point_step_time(jax, jnp, run_sum, 16, (variables,)) * 1e3
+        print(f"  trunk cum[{upto}] = {t:.3f} ms (+{t - prev:.3f})",
+              flush=True)
+        prev = t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,8")
@@ -154,6 +229,8 @@ def main():
                     help="per-piece breakdown of the cached tracker step")
     ap.add_argument("--seg", action="store_true",
                     help="seg-head component micro-timings")
+    ap.add_argument("--trunk", action="store_true",
+                    help="trunk per-stage cumulative timings")
     args = ap.parse_args()
 
     if args.tracker:
@@ -161,6 +238,9 @@ def main():
         return
     if args.seg:
         seg_breakdown()
+        return
+    if args.trunk:
+        trunk_breakdown()
         return
 
     from efficientsam3_tpu.build import build_efficientsam3_video_model
