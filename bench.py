@@ -344,16 +344,18 @@ def main():
         two_point_step_time(jax, jnp, track_cached_sum, 32, tcargs) * 1e3, 3
     )
 
-    # ---- full video-PCS frame (VERDICT r3 #5): the device work of ONE
+    # ---- full video-PCS frame (VERDICT r3 #5): the work of ONE
     # video/pipeline.py _step at 8 tracked objects — detector grounding +
     # score*presence postprocess + mask NMS (step 1), cached tracker
     # propagation (step 2), det-vs-track mask-IoU association matrix
-    # (step 3), hole filling on the emitted masks (step 5) — fused into one
-    # scanned program, exactly what a locally-attached production pipeline
-    # compiles per frame. Host-side heuristics (keep-alive bookkeeping,
-    # 20x8 Hungarian) are numpy-microseconds and excluded.
+    # (step 3) — fused into one scanned program, exactly what a
+    # locally-attached production pipeline compiles per frame. Hole
+    # filling on the emitted masks (step 5) runs on HOST in the real
+    # pipeline (C++ union-find; the device CCL measured ~600 ms for
+    # 8x288² — gather-bound) and is measured separately below and added.
+    # Other host-side heuristics (keep-alive bookkeeping, 20x8 Hungarian)
+    # are numpy-microseconds and excluded.
     # Reference: sam3/sam3/model/sam3_video_base.py:151 _det_track_one_frame.
-    from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores
     from efficientsam3_tpu.ops.masks import mask_iou, nms_masks
 
     n_dets = 20
@@ -397,13 +399,9 @@ def main():
         # step 3: association IoU matrix (dets x tracks)
         trk_masks = heads["low_res_masks"][:, 0] > 0  # (8, 288, 288)
         ious = mask_iou(det_masks & keep[:, None, None], trk_masks)
-        # step 5: hole-fill the emitted track masks
-        emitted = jax.vmap(
-            lambda m: fill_holes_in_mask_scores(m, 16)
-        )(heads["low_res_masks"][:, 0])
         return (
             jnp.sum(ious.astype(jnp.float32))
-            + jnp.sum(emitted.astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
             + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
             + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
@@ -411,8 +409,21 @@ def main():
 
     vp_args = (variables,) + tcargs
     vp_ms = two_point_step_time(jax, jnp, video_pcs_sum, 8, vp_args) * 1e3
-    extras["video_pcs_ms_frame"] = round(vp_ms, 3)
-    extras["video_pcs_fps"] = round(1e3 / vp_ms, 1)
+
+    # step 5's hole filling, as the pipeline actually runs it: host C++
+    # union-find (ops/cc.fill_holes_in_mask_scores_host) on the emitted
+    # (8, 288, 288) masks
+    from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores_host
+
+    hm = np.random.RandomState(1).randn(8, 288, 288).astype(np.float32)
+    fill_holes_in_mask_scores_host(hm, 16)  # warm (builds native lib)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        fill_holes_in_mask_scores_host(hm, 16)
+    host_fill_ms = (time.perf_counter() - t0) / 5 * 1e3
+    extras["video_pcs_host_fill_ms"] = round(host_fill_ms, 3)
+    extras["video_pcs_ms_frame"] = round(vp_ms + host_fill_ms, 3)
+    extras["video_pcs_fps"] = round(1e3 / (vp_ms + host_fill_ms), 1)
 
     # ---- SAM1-task point prompt encode+decode (the stated north star is
     # "EV-M point-prompt encode+decode < 10 ms/frame on one v5e chip":

@@ -441,7 +441,11 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
         # 18.5% dead lanes; 768 pads to 5376, 3.7%)
         block_q = min((768, 896, 1024), key=lambda bq: (-lq) % bq)
     if block_k is None:
-        block_k = 512
+        # wide kv blocks amortize per-grid-step overhead; bounded so the
+        # f32 logits block stays within VMEM. Measured at the tracker
+        # shape (8, 5184q, 36416kv, dk256/dv64): 2048 -> 7.29 ms vs
+        # 512 -> 8.44 at bq=768 (old (1024,512) default: 9.20)
+        block_k = 2048 if block_q * 2048 * 4 <= 6_500_000 else 512
     g = b * h
 
     pad_q = (-lq) % block_q

@@ -426,13 +426,12 @@ class VideoPCSPredictor:
             masks.append(mask)
         masks = np.stack(masks) if masks else np.zeros((0, 1, 1), np.float32)
         if cfg.fill_hole_area > 0 and len(ids):
-            from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores
+            # host C++ union-find: emission already runs on host numpy, and
+            # the device pointer-jumping CCL is gather-bound (~600 ms for
+            # 8x288^2 on one v5e vs ~1 ms here)
+            from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores_host
 
-            masks = np.asarray(
-                jax.vmap(
-                    lambda m: fill_holes_in_mask_scores(m, cfg.fill_hole_area)
-                )(jnp.asarray(masks))
-            )
+            masks = fill_holes_in_mask_scores_host(masks, cfg.fill_hole_area)
         return {
             "frame_idx": t,
             "obj_ids": ids,
