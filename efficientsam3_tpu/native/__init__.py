@@ -31,13 +31,14 @@ def lib() -> Optional[ctypes.CDLL]:
     try:
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", so, src],
                 check=True,
                 capture_output=True,
             )
         _lib = ctypes.CDLL(so)
         _lib.cc_label.restype = ctypes.c_int32
         _lib.fill_holes.restype = None
+        _lib.fill_holes_sprinkles.restype = None
         _lib.nms_greedy.restype = None
         _lib.edt.restype = None
         _lib.record_store_item_size.restype = ctypes.c_int64
@@ -63,19 +64,25 @@ def cc_label(mask: np.ndarray):
     return out, int(n)
 
 
-def fill_holes(scores: np.ndarray, max_area: float, fill_value: float = 0.1):
+def fill_holes(scores: np.ndarray, max_area: float, fill_value: float = 0.1,
+               remove_sprinkles: bool = False, sprinkle_value: float = -0.1):
     """(..., H, W) float32 score maps -> holes (bg components, area <=
-    max_area) patched to fill_value IN PLACE. scores must be contiguous
-    float32; leading axes are flattened into the batch."""
+    max_area) patched to fill_value IN PLACE; optionally fg components
+    smaller than min(total_fg // 2, max_area) set to sprinkle_value
+    (reference sam3_tracker_utils.py:392 fill_holes + remove_sprinkles).
+    scores must be contiguous float32; leading axes are flattened into the
+    batch, which is processed in parallel threads."""
     l = lib()
     assert l is not None, "native library unavailable"
     assert scores.dtype == np.float32 and scores.flags.c_contiguous
     h, w = scores.shape[-2:]
     b = int(np.prod(scores.shape[:-2], dtype=np.int64)) if scores.ndim > 2 else 1
-    l.fill_holes(
+    l.fill_holes_sprinkles(
         scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int32(b), ctypes.c_int32(h), ctypes.c_int32(w),
         ctypes.c_float(max_area), ctypes.c_float(fill_value),
+        ctypes.c_int32(1 if remove_sprinkles else 0),
+        ctypes.c_float(sprinkle_value),
     )
     return scores
 

@@ -79,12 +79,17 @@ def component_areas(labels):
     return jnp.zeros((n + 1,), jnp.int32).at[flat].add(1)
 
 
-def fill_holes_in_mask_scores(mask_scores, max_hole_area: float):
+def fill_holes_in_mask_scores(mask_scores, max_hole_area: float,
+                              remove_sprinkles: bool = False):
     """Fill small negative-score holes with a small positive score.
 
     Mirrors reference sam3_tracker_utils.py:392: background components of the
     thresholded mask smaller than `max_hole_area` are set to +0.1 (treated as
-    foreground) so tiny holes don't fragment tracked masks.
+    foreground) so tiny holes don't fragment tracked masks. With
+    `remove_sprinkles` (reference default at both video call sites,
+    sam3_video_base.py:970/:1147), foreground components of the PATCHED mask
+    smaller than min(total_fg_area // 2, max_hole_area) are then set to -0.1
+    — stray blobs dropped without killing genuinely tiny tracked objects.
 
     mask_scores: (H, W) float logits. Returns patched scores.
     """
@@ -93,18 +98,34 @@ def fill_holes_in_mask_scores(mask_scores, max_hole_area: float):
     areas = component_areas(labels)
     pix_area = areas[labels]
     is_hole = (labels > 0) & (pix_area <= max_hole_area)
-    return jnp.where(is_hole, 0.1, mask_scores)
+    patched = jnp.where(is_hole, 0.1, mask_scores)
+    if remove_sprinkles:
+        fg = patched > 0
+        fg_labels = connected_components(fg)
+        fg_areas = component_areas(fg_labels)
+        thresh = jnp.minimum(fg.sum() // 2, jnp.int32(max_hole_area))
+        is_sprinkle = (fg_labels > 0) & (fg_areas[fg_labels] <= thresh)
+        patched = jnp.where(is_sprinkle, -0.1, patched)
+    return patched
 
 
-def fill_holes_in_mask_scores_host(mask_scores, max_hole_area: float):
+def fill_holes_in_mask_scores_host(mask_scores, max_hole_area: float,
+                                   remove_sprinkles: bool = False):
     """Host version of fill_holes_in_mask_scores for the video pipeline's
     emission path (which runs on host numpy anyway).
 
     The device pointer-jumping version is gather-bound: ~600 ms for
     8x288^2 masks on one v5e (TPU gathers run on the VPU and the
-    while_loop can't vectorize across masks), vs ~1 ms for the C++
-    union-find (native/hostkernels.cpp) here. Falls back to
-    scipy.ndimage when the native library isn't built.
+    while_loop can't vectorize across masks). The C++ run-based union-find
+    (native/hostkernels.cpp fill_holes_sprinkles, threaded over masks)
+    costs <1 ms typical (structured masks, few runs) and single-digit ms
+    worst-case (pure noise masks maximize the run count) — bench.py
+    reports both. Falls back to scipy.ndimage when the native library
+    isn't built.
+
+    With `remove_sprinkles` (the reference's video default), small
+    foreground components of the patched mask are set to -0.1; see
+    fill_holes_in_mask_scores.
 
     mask_scores: (..., H, W) float array. Returns patched copy.
     """
@@ -115,24 +136,32 @@ def fill_holes_in_mask_scores_host(mask_scores, max_hole_area: float):
         from efficientsam3_tpu import native
 
         if native.lib() is not None:
-            # single batched call: run-based union-find + in-place patch
-            # (the per-mask label/bincount loop below cost ~21 ms for
-            # 8x288² masks; this is ~1.5 ms)
-            native.fill_holes(out, float(max_hole_area), 0.1)
+            native.fill_holes(out, float(max_hole_area), 0.1,
+                              remove_sprinkles=remove_sprinkles)
             return out.reshape(mask_scores.shape)
     except Exception:
         pass
+    from scipy import ndimage
+
     flat = out.reshape(-1, *out.shape[-2:])
+    eight = np.ones((3, 3), int)
     for sl in flat:
         bg = sl <= 0
-        from scipy import ndimage
-
-        labels, n = ndimage.label(bg, structure=np.ones((3, 3), int))
-        if n == 0:
-            continue
-        areas = np.bincount(labels.ravel(), minlength=n + 1)
-        areas[0] = 0
-        hole = areas[labels] > 0
-        hole &= areas[labels] <= max_hole_area
-        sl[hole] = 0.1
+        labels, n = ndimage.label(bg, structure=eight)
+        if n > 0:
+            areas = np.bincount(labels.ravel(), minlength=n + 1)
+            areas[0] = 0
+            hole = areas[labels] > 0
+            hole &= areas[labels] <= max_hole_area
+            sl[hole] = 0.1
+        if remove_sprinkles:
+            fg = sl > 0
+            labels, n = ndimage.label(fg, structure=eight)
+            if n == 0:
+                continue
+            thresh = min(int(fg.sum()) // 2, int(max_hole_area))
+            areas = np.bincount(labels.ravel(), minlength=n + 1)
+            areas[0] = 0
+            sprinkle = (areas[labels] > 0) & (areas[labels] <= thresh)
+            sl[sprinkle] = -0.1
     return out.reshape(mask_scores.shape)

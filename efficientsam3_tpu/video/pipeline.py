@@ -431,7 +431,11 @@ class VideoPCSPredictor:
             # 8x288^2 on one v5e vs ~1 ms here)
             from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores_host
 
-            masks = fill_holes_in_mask_scores_host(masks, cfg.fill_hole_area)
+            # remove_sprinkles=True matches the reference video call sites
+            # (sam3_video_base.py:970, :1147)
+            masks = fill_holes_in_mask_scores_host(
+                masks, cfg.fill_hole_area, remove_sprinkles=True
+            )
         return {
             "frame_idx": t,
             "obj_ids": ids,

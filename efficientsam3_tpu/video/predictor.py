@@ -680,13 +680,14 @@ class TrackerPredictor:
                 self._trim_non_cond(state, t, reverse)
             masks = out["low_res_masks"][:n_obj]
             if self.fill_hole_area > 0 and n_obj:
-                from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores
+                from efficientsam3_tpu.ops.cc import fill_holes_in_mask_scores_host
 
-                flat = jnp.asarray(masks).reshape(-1, *masks.shape[-2:])
-                filled = jax.vmap(
-                    lambda m: fill_holes_in_mask_scores(m, self.fill_hole_area)
-                )(flat)
-                masks = np.array(filled).reshape(masks.shape)
+                # host C++ path with remove_sprinkles=True — the reference
+                # applies both passes on emission (sam3_video_base.py:970)
+                masks = fill_holes_in_mask_scores_host(
+                    np.asarray(masks), self.fill_hole_area,
+                    remove_sprinkles=True,
+                ).reshape(masks.shape)
             yield t, list(state["obj_ids"]), masks
 
     def remove_object(self, state, obj_id):

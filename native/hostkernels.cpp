@@ -8,7 +8,7 @@
 // and (c) the stage-1 record store (TxtManager-equivalent data loader).
 //
 // Exposed via ctypes (see efficientsam3_tpu/native/__init__.py).
-// Build: g++ -O3 -shared -fPIC -o libhostkernels.so hostkernels.cpp
+// Build: g++ -O3 -shared -fPIC -pthread -o libhostkernels.so hostkernels.cpp
 
 #include <cstdint>
 #include <cstdio>
@@ -16,6 +16,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
 
@@ -138,37 +139,47 @@ void edt(const uint8_t* mask, int32_t h, int32_t w, float* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Batched hole filling on mask score maps (reference
+// Batched hole filling + sprinkle removal on mask score maps (reference
 // sam3_tracker_utils.py:392 fill_holes_in_mask_scores): for each (h, w)
-// score map, background components (score <= 0, 8-connectivity) with area
-// <= max_area are overwritten with fill_value. Run-based union-find: runs
-// of consecutive background pixels are the union-find nodes (≥10x fewer
+// score map, (a) background components (score <= 0, 8-connectivity) with
+// area <= max_area are overwritten with fill_value (+0.1), then (b) if
+// remove_sprinkles, foreground components (score > 0 AFTER the fill pass)
+// with area <= min(total_fg_area / 2, max_area) are overwritten with
+// sprinkle_value (-0.1) — small stray blobs are dropped without killing
+// genuinely tiny tracked objects. Run-based union-find: runs of
+// consecutive same-side pixels are the union-find nodes (>=10x fewer
 // find/unite ops than per-pixel labeling on noisy masks), united against
 // the overlapping runs of the previous row, then patched in place. One
-// call handles the whole (b, h, w) batch — the Python per-mask
-// label/bincount/fancy-index loop cost ~21 ms for 8x288² noise masks;
-// this is ~1.5 ms.
+// call handles the whole (b, h, w) batch, threaded over masks (they are
+// independent) — the Python per-mask label/bincount/fancy-index loop cost
+// ~21 ms for 8x288^2 noise masks; single-thread runs is ~9 ms worst-case
+// (noise) / <1 ms typical, and threading divides the worst case by the
+// batch fan-out.
 // ---------------------------------------------------------------------------
-void fill_holes(float* scores, int32_t b, int32_t h, int32_t w,
-                float max_area, float fill_value) {
+namespace {
+
+struct RunCC {
   std::vector<int32_t> parent, run_xs, run_xe, row0, area;
-  for (int32_t img = 0; img < b; ++img) {
-    float* s = scores + (int64_t)img * h * w;
+
+  // Build runs of pixels where (row[x] > 0) == positive, unite across rows
+  // (8-connectivity), accumulate component areas. Returns total run area.
+  int64_t label(const float* s, int32_t h, int32_t w, bool positive) {
     parent.clear(); run_xs.clear(); run_xe.clear();
     row0.assign(h + 1, 0);
-    // pass 1: build runs, unite with previous row's overlapping runs
+    int64_t total = 0;
     for (int32_t y = 0; y < h; ++y) {
       row0[y] = (int32_t)run_xs.size();
       const float* row = s + (int64_t)y * w;
       int32_t prev = (y > 0) ? row0[y - 1] : 0;
       const int32_t prev_end = (y > 0) ? row0[y] : 0;
       for (int32_t x = 0; x < w;) {
-        if (row[x] > 0.0f) { ++x; continue; }
+        if ((row[x] > 0.0f) != positive) { ++x; continue; }
         const int32_t xs = x;
-        while (x < w && row[x] <= 0.0f) ++x;
+        while (x < w && (row[x] > 0.0f) == positive) ++x;
         const int32_t xe = x - 1;  // inclusive
         const int32_t id = (int32_t)run_xs.size();
         run_xs.push_back(xs); run_xe.push_back(xe); parent.push_back(id);
+        total += xe - xs + 1;
         // 8-connectivity: overlap with prev-row runs widened by 1
         while (prev < prev_end && run_xe[prev] < xs - 1) ++prev;
         for (int32_t p = prev; p < prev_end && run_xs[p] <= xe + 1; ++p) {
@@ -178,21 +189,73 @@ void fill_holes(float* scores, int32_t b, int32_t h, int32_t w,
       }
     }
     row0[h] = (int32_t)run_xs.size();
-    // pass 2: accumulate root areas
     const int32_t nruns = (int32_t)run_xs.size();
     area.assign(nruns, 0);
     for (int32_t r = 0; r < nruns; ++r)
       area[find_root(parent, r)] += run_xe[r] - run_xs[r] + 1;
-    // pass 3: patch small components
+    return total;
+  }
+
+  // Overwrite pixels of components with area <= thresh.
+  void patch_small(float* s, int32_t h, int32_t w, float thresh, float value) {
     for (int32_t y = 0; y < h; ++y) {
       float* row = s + (int64_t)y * w;
       for (int32_t r = row0[y]; r < row0[y + 1]; ++r) {
         const int32_t a = area[find_root(parent, r)];
-        if ((float)a <= max_area)
-          for (int32_t x = run_xs[r]; x <= run_xe[r]; ++x) row[x] = fill_value;
+        if ((float)a <= thresh)
+          for (int32_t x = run_xs[r]; x <= run_xe[r]; ++x) row[x] = value;
       }
     }
   }
+};
+
+void fill_one(float* s, int32_t h, int32_t w, float max_area,
+              float fill_value, int32_t remove_sprinkles,
+              float sprinkle_value, RunCC& cc) {
+  cc.label(s, h, w, /*positive=*/false);
+  cc.patch_small(s, h, w, max_area, fill_value);
+  if (remove_sprinkles) {
+    // fg threshold: min(total_fg // 2, max_area) — reference
+    // sam3_tracker_utils.py:417-428 (floor_divide then clamp)
+    const int64_t fg = cc.label(s, h, w, /*positive=*/true);
+    const float thresh = std::min((float)(fg / 2), max_area);
+    cc.patch_small(s, h, w, thresh, sprinkle_value);
+  }
+}
+
+}  // namespace
+
+void fill_holes(float* scores, int32_t b, int32_t h, int32_t w,
+                float max_area, float fill_value) {
+  RunCC cc;
+  for (int32_t img = 0; img < b; ++img)
+    fill_one(scores + (int64_t)img * h * w, h, w, max_area, fill_value,
+             0, 0.0f, cc);
+}
+
+void fill_holes_sprinkles(float* scores, int32_t b, int32_t h, int32_t w,
+                          float max_area, float fill_value,
+                          int32_t remove_sprinkles, float sprinkle_value) {
+  unsigned hw = std::thread::hardware_concurrency();
+  const int32_t nthreads = std::max(1, std::min<int32_t>(b, hw ? (int32_t)hw : 1));
+  if (nthreads <= 1 || b <= 1) {
+    RunCC cc;
+    for (int32_t img = 0; img < b; ++img)
+      fill_one(scores + (int64_t)img * h * w, h, w, max_area, fill_value,
+               remove_sprinkles, sprinkle_value, cc);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int32_t t = 0; t < nthreads; ++t) {
+    pool.emplace_back([=]() {
+      RunCC cc;
+      for (int32_t img = t; img < b; img += nthreads)
+        fill_one(scores + (int64_t)img * h * w, h, w, max_area, fill_value,
+                 remove_sprinkles, sprinkle_value, cc);
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 // ---------------------------------------------------------------------------

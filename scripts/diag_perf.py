@@ -110,6 +110,145 @@ def tracker_breakdown():
         print(f"  tracker[{name}] = {t:.3f} ms", flush=True)
 
 
+def fusion_breakdown():
+    """Decompose the text_geo_fusion bench bucket (VERDICT r4 next #1):
+    text tower / geometry encoder / fusion encoder, then the fusion layer
+    pieces (flash self-attn, einsum cross-attn, FFN) at exact hot shapes.
+    Each piece is its own scanned program; the full-minus-sum residual is
+    reported so misattribution is visible."""
+    import numpy as np
+
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
+    from efficientsam3_tpu.models.geometry import Prompt
+
+    model, _ = build_efficientsam3_video_model(
+        backbone_type="efficientvit", model_name="b1",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=32,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 1008, 1008, 3), jnp.float32)
+    tokens = jnp.zeros((1, 32), jnp.int32)
+    prompt = Prompt.empty(1, 4, 4)
+    variables = jax.jit(model.init)(rng, img, tokens, prompt)
+
+    b, n, c = 1, 72 * 72, model.d_model
+    pos = jnp.asarray(np.random.RandomState(1).rand(n, c), jnp.float32)
+
+    def tok_of(seed, shape):
+        return jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(11), seed), shape
+        )
+
+    # 1) text tower alone (MobileCLIP-S0 student, ctx 32)
+    def text_sum(seed, v):
+        toks = jnp.clip(
+            jax.random.randint(
+                jax.random.fold_in(jax.random.PRNGKey(2), seed),
+                (1, 32), 0, 30000),
+            0, 49407).astype(jnp.int32)
+        tm, _ = model.apply(v, toks, method=model.encode_text)
+        return jnp.sum(tm.astype(jnp.float32)) * 1e-3
+
+    # 2) geometry encoder alone
+    def geo_sum(seed, v):
+        it = tok_of(seed, (b, n, c))
+        gt, gm = model.apply(
+            v, prompt, it, (72, 72), pos,
+            method=lambda m, *a: m.geometry_encoder(*a),
+        )
+        return jnp.sum(gt.astype(jnp.float32)) * 1e-3
+
+    # 3) fusion encoder alone at exact shapes (text 32 + geo tokens)
+    gt0, gm0 = model.apply(
+        variables, prompt, jnp.zeros((b, n, c)), (72, 72), pos,
+        method=lambda m, *a: m.geometry_encoder(*a),
+    )
+    m_geo = gt0.shape[1]
+    full_prompt0 = jnp.zeros((b, 32 + m_geo, c))
+    full_mask0 = jnp.concatenate(
+        [jnp.zeros((b, 32), bool), gm0], axis=1
+    )
+
+    def fusion_sum(seed, v):
+        it = tok_of(seed, (b, n, c))
+        out = model.apply(
+            v, it, pos, full_prompt0, full_mask0,
+            method=lambda m, *a: m.fusion_encoder(*a),
+        )
+        return jnp.sum(out.astype(jnp.float32)) * 1e-6
+
+    results = {}
+    for name, fn, reps in (
+        ("text_tower", text_sum, 32),
+        ("geometry", geo_sum, 32),
+        ("fusion_encoder_6l", fusion_sum, 16),
+    ):
+        t = two_point_step_time(jax, jnp, fn, reps, (variables,)) * 1e3
+        results[name] = t
+        print(f"  fusion[{name}] = {t:.3f} ms", flush=True)
+
+    # 4) per-piece micro-times at exact shapes (x1 layer; full layer stack
+    #    is 6x). Separate modules with fresh inits — same shapes/dtypes.
+    from efficientsam3_tpu.models.common import MultiheadAttention
+    import flax.linen as fnn
+
+    m_tot = 32 + m_geo
+
+    class SelfAttn(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, qpos):
+            xn = fnn.LayerNorm(epsilon=1e-5)(x)
+            return MultiheadAttention(c, 8, dtype=jnp.bfloat16)(
+                xn + qpos, xn + qpos, xn)
+
+    class CrossAttn(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, mem, mask):
+            xn = fnn.LayerNorm(epsilon=1e-5)(x)
+            return MultiheadAttention(c, 8, dtype=jnp.bfloat16)(
+                xn, mem, mem, key_padding_mask=mask)
+
+    class FFN(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            xn = fnn.LayerNorm(epsilon=1e-5)(x)
+            h = fnn.Dense(2048, dtype=jnp.bfloat16)(xn)
+            return fnn.Dense(c, dtype=jnp.bfloat16)(fnn.relu(h))
+
+    x0 = jnp.zeros((b, n, c))
+    mem0 = jnp.zeros((b, m_tot, c))
+    mask0 = jnp.zeros((b, m_tot), bool)
+    sa, ca, ff = SelfAttn(), CrossAttn(), FFN()
+    sav = jax.jit(sa.init)(rng, x0, pos[None])
+    cav = jax.jit(ca.init)(rng, x0, mem0, mask0)
+    ffv = jax.jit(ff.init)(rng, x0)
+
+    pieces = (
+        ("self_attn_1l", lambda s, v: jnp.sum(
+            sa.apply(v, tok_of(s, (b, n, c)), pos[None]).astype(jnp.float32)
+        ) * 1e-6, sav, 16),
+        ("cross_attn_1l", lambda s, v: jnp.sum(
+            ca.apply(v, tok_of(s, (b, n, c)), mem0, mask0).astype(jnp.float32)
+        ) * 1e-6, cav, 32),
+        ("ffn_1l", lambda s, v: jnp.sum(
+            ff.apply(v, tok_of(s, (b, n, c))).astype(jnp.float32)
+        ) * 1e-6, ffv, 32),
+    )
+    per_layer = 0.0
+    for name, fn, v, reps in pieces:
+        t = two_point_step_time(jax, jnp, fn, reps, (v,)) * 1e3
+        per_layer += t
+        print(f"  fusion[{name}] = {t:.3f} ms (x6 = {t * 6:.3f})", flush=True)
+    resid = results["fusion_encoder_6l"] - per_layer * 6
+    print(f"  fusion[residual] = {resid:.3f} ms "
+          f"(6l total {results['fusion_encoder_6l']:.3f} - pieces "
+          f"{per_layer * 6:.3f})", flush=True)
+    print(f"  bucket sum (text+geo+fusion) = "
+          f"{results['text_tower'] + results['geometry'] + results['fusion_encoder_6l']:.3f} ms",
+          flush=True)
+
+
 def seg_breakdown():
     """Isolate seg-head cost: pixel decoder convs, GN, mask einsum."""
     import numpy as np
@@ -227,6 +366,8 @@ def main():
     ap.add_argument("--fusion", action="store_true")
     ap.add_argument("--tracker", action="store_true",
                     help="per-piece breakdown of the cached tracker step")
+    ap.add_argument("--fusion-breakdown", action="store_true",
+                    help="decompose the text_geo_fusion bucket")
     ap.add_argument("--seg", action="store_true",
                     help="seg-head component micro-timings")
     ap.add_argument("--trunk", action="store_true",
@@ -235,6 +376,9 @@ def main():
 
     if args.tracker:
         tracker_breakdown()
+        return
+    if args.fusion_breakdown:
+        fusion_breakdown()
         return
     if args.seg:
         seg_breakdown()

@@ -54,3 +54,79 @@ def test_record_store_roundtrip(tmp_path):
     assert rs.read(3) == items[3]
     with pytest.raises(IOError):
         rs.read(99)
+
+
+def _fill_holes_scipy(scores, max_area, remove_sprinkles):
+    """Independent scipy oracle for fill_holes_sprinkles (reference
+    sam3_tracker_utils.py:392 semantics)."""
+    out = scores.copy()
+    eight = np.ones((3, 3), int)
+    for sl in out.reshape(-1, *out.shape[-2:]):
+        bg = sl <= 0
+        labels, n = ndi.label(bg, structure=eight)
+        if n:
+            areas = np.bincount(labels.ravel(), minlength=n + 1)
+            areas[0] = 0
+            sl[(areas[labels] > 0) & (areas[labels] <= max_area)] = 0.1
+        if remove_sprinkles:
+            fg = sl > 0
+            labels, n = ndi.label(fg, structure=eight)
+            if n:
+                thresh = min(int(fg.sum()) // 2, int(max_area))
+                areas = np.bincount(labels.ravel(), minlength=n + 1)
+                areas[0] = 0
+                sl[(areas[labels] > 0) & (areas[labels] <= thresh)] = -0.1
+    return out
+
+
+@pytest.mark.parametrize("remove_sprinkles", [False, True])
+def test_native_fill_holes_noise_parity(remove_sprinkles):
+    # worst case: pure noise masks maximize the run count
+    scores = (RNG.random((8, 288, 288)).astype(np.float32) - 0.5) * 4
+    want = _fill_holes_scipy(scores, 16, remove_sprinkles)
+    got = native.fill_holes(
+        np.ascontiguousarray(scores.copy()), 16.0,
+        remove_sprinkles=remove_sprinkles,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("remove_sprinkles", [False, True])
+def test_native_fill_holes_structured_parity(remove_sprinkles):
+    # typical case: large blobs with small holes + sprinkles
+    scores = np.full((8, 288, 288), -2.0, np.float32)
+    for b in range(8):
+        y, x = np.mgrid[:288, :288]
+        cy, cx, r = 60 + 20 * b, 144, 70 + 3 * b
+        blob = (y - cy) ** 2 + (x - cx) ** 2 < r * r
+        scores[b][blob] = 3.0
+        # punch small holes inside the blob
+        for k in range(5):
+            hy, hx = cy + 10 * k - 20, cx + 6 * k - 12
+            scores[b][hy : hy + 3, hx : hx + 3] = -1.0
+        # sprinkles far from the blob
+        for k in range(4):
+            sy, sx = (37 * (b + k + 1)) % 280, (53 * (b + 2 * k + 1)) % 280
+            scores[b][sy : sy + 2, sx : sx + 2] = 1.0
+    want = _fill_holes_scipy(scores, 16, remove_sprinkles)
+    got = native.fill_holes(
+        np.ascontiguousarray(scores.copy()), 16.0,
+        remove_sprinkles=remove_sprinkles,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_fill_holes_sprinkles_matches_host():
+    import jax.numpy as jnp
+
+    from efficientsam3_tpu.ops.cc import (
+        fill_holes_in_mask_scores,
+        fill_holes_in_mask_scores_host,
+    )
+
+    scores = (RNG.random((64, 64)).astype(np.float32) - 0.45) * 4
+    dev = np.asarray(
+        fill_holes_in_mask_scores(jnp.asarray(scores), 12, remove_sprinkles=True)
+    )
+    host = fill_holes_in_mask_scores_host(scores, 12, remove_sprinkles=True)
+    np.testing.assert_array_equal(dev, host)
