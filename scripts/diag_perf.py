@@ -110,6 +110,118 @@ def tracker_breakdown():
         print(f"  tracker[{name}] = {t:.3f} ms", flush=True)
 
 
+def measure_hbm_bw():
+    """Measured HBM bandwidth via a big elementwise triad (read 2 arrays +
+    write 1): bytes_moved / step_time."""
+    n = 64 * 1024 * 1024  # 256 MB fp32 per array
+
+    def triad_sum(seed, a, b):
+        s = jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(1), seed), ())
+        c = a * s + b
+        return c[::65536].astype(jnp.float32).sum()
+
+    a = jnp.ones((n,), jnp.float32)
+    b = jnp.ones((n,), jnp.float32)
+    sec = two_point_step_time(jax, jnp, triad_sum, 8, (a, b))
+    return 3 * n * 4 / sec  # bytes/s
+
+
+def roofline():
+    """Per-stage roofline table (VERDICT r4 next #7): FLOPs and HBM bytes
+    from XLA cost analysis of each cumulative prefix (differenced), joined
+    with measured stage times and per-stage achievable floors at the
+    measured matmul ceiling / HBM bandwidth. Emits the markdown table for
+    docs/performance.md."""
+    from efficientsam3_tpu.build import build_efficientsam3_video_model
+    from efficientsam3_tpu.models.geometry import Prompt
+
+    model, _ = build_efficientsam3_video_model(
+        backbone_type="efficientvit", model_name="b1",
+        text_encoder_type="MobileCLIP-S0", text_encoder_context_length=32,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 1008, 1008, 3), jnp.float32)
+    tokens = jnp.zeros((1, 32), jnp.int32)
+    prompt = Prompt.empty(1, 4, 4)
+    variables = jax.jit(model.init)(rng, img, tokens, prompt)
+
+    def prefix(v, x, what):
+        if what == "trunk":
+            r = model.apply(v, x, method=lambda m, a: m.trunk(a, train=False))
+            return jnp.sum(r.astype(jnp.float32)) * 1e-6
+        img_out = model.apply(v, x, method=model.encode_image)
+        acc = sum(jnp.sum(f.astype(jnp.float32)) for f in img_out["fpn"]) * 1e-6
+        if what == "image":
+            return acc
+        tmem, tmask = model.apply(v, tokens, method=model.encode_text)
+        out = model.apply(
+            v, img_out["fpn"], img_out["pos"], tmem, tmask, prompt,
+            stage=what if what != "full" else None, method=model.ground,
+        )
+        acc += jnp.sum(out["encoder_hidden_states"].astype(jnp.float32)) * 1e-6
+        if what in ("decoder", "full"):
+            acc += jnp.sum(out["pred_logits"].astype(jnp.float32))
+            acc += jnp.sum(out["pred_boxes"].astype(jnp.float32))
+        if what == "full":
+            acc += jnp.sum(out["pred_masks"].astype(jnp.float32)) * 1e-6
+        return acc
+
+    costs = {}
+    for what in ("trunk", "image", "fusion", "decoder", "full"):
+        f = jax.jit(lambda v, x, w=what: prefix(v, x, w))
+        c = f.lower(variables, img).compile().cost_analysis()
+        costs[what] = (
+            float(c.get("flops", 0.0)),
+            float(c.get("bytes accessed", 0.0)),
+        )
+        print(f"  cum[{what}]: {costs[what][0] / 1e9:.1f} GFLOP, "
+              f"{costs[what][1] / 1e9:.2f} GB", flush=True)
+
+    bw = measure_hbm_bw()
+    print(f"  measured HBM triad bandwidth: {bw / 1e9:.0f} GB/s", flush=True)
+
+    # measured per-stage times (same methodology as bench.py)
+    def prefix_sum(seed, v, what):
+        x = jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(7), seed),
+            (1, 1008, 1008, 3), jnp.float32,
+        )
+        return prefix(v, x, what)
+
+    cum_ms = {}
+    for what, n in (("trunk", 16), ("image", 16), ("fusion", 8),
+                    ("decoder", 8), ("full", 8)):
+        cum_ms[what] = two_point_step_time(
+            jax, jnp, lambda s, v, w=what: prefix_sum(s, v, w), n, (variables,)
+        ) * 1e3
+        print(f"  cum_ms[{what}] = {cum_ms[what]:.3f}", flush=True)
+
+    order = ["trunk", "image", "fusion", "decoder", "full"]
+    names = {"trunk": "trunk", "image": "neck", "fusion": "text_geo_fusion",
+             "decoder": "decoder_scoring", "full": "seg_head"}
+    mxu = 135e12  # measured sustained bf16 matmul ceiling (docs)
+    print("\n| stage | GFLOP | GB moved | bound | floor ms | measured ms | "
+          "% of floor |")
+    print("|---|---|---|---|---|---|---|")
+    prev_f = prev_b = prev_t = 0.0
+    tot_floor = 0.0
+    for what in order:
+        f, b = costs[what]
+        df, db = f - prev_f, b - prev_b
+        dt = cum_ms[what] - prev_t
+        prev_f, prev_b, prev_t = f, b, cum_ms[what]
+        t_mxu = df / mxu * 1e3
+        t_bw = db / bw * 1e3
+        floor = max(t_mxu, t_bw)
+        tot_floor += floor
+        bound = "MXU" if t_mxu >= t_bw else "HBM"
+        print(f"| {names[what]} | {df / 1e9:.1f} | {db / 1e9:.3f} | {bound} "
+              f"| {floor:.2f} | {dt:.2f} | {floor / max(dt, 1e-9) * 100:.0f}% |")
+    print(f"\ntotal floor {tot_floor:.2f} ms vs measured "
+          f"{cum_ms['full']:.2f} ms", flush=True)
+
+
 def fusion_breakdown():
     """Decompose the text_geo_fusion bench bucket (VERDICT r4 next #1):
     text tower / geometry encoder / fusion encoder, then the fusion layer
@@ -368,6 +480,8 @@ def main():
                     help="per-piece breakdown of the cached tracker step")
     ap.add_argument("--fusion-breakdown", action="store_true",
                     help="decompose the text_geo_fusion bucket")
+    ap.add_argument("--roofline", action="store_true",
+                    help="per-stage FLOPs/bytes/floor vs measured table")
     ap.add_argument("--seg", action="store_true",
                     help="seg-head component micro-timings")
     ap.add_argument("--trunk", action="store_true",
@@ -379,6 +493,9 @@ def main():
         return
     if args.fusion_breakdown:
         fusion_breakdown()
+        return
+    if args.roofline:
+        roofline()
         return
     if args.seg:
         seg_breakdown()
