@@ -33,6 +33,71 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class ConvTranspose2x(nn.Module):
+    """2x2-stride-2 transposed conv as one matmul + depth-to-space.
+
+    Drop-in for nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+    padding='VALID') — same param tree (kernel (2, 2, I, O), bias (O,)) and
+    numerics. With kernel == stride there is no tap overlap, so
+    out[2h+i, 2w+j, o] = sum_c x[h, w, c] * kernel[i, j, c, o]: a pure
+    (HW, C) @ (C, 4O) matmul the MXU runs at full bf16 rate, where XLA's
+    transposed-conv lowering keeps f32 weights through a kernel-rewrite
+    custom-call (measured 0.52 ms for the neck's three upsamples vs a
+    ~0.17 ms matmul floor).
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        # flax lowers ConvTranspose as a zero-dilated correlation, which
+        # reaches kernel tap (1-i, 1-j) for output offset (i, j). Emitting
+        # (b, h, i, w, j, o) makes the depth-to-space reshape a pure view —
+        # a separate 6-D transpose costs ~0.4 ms/level at the neck shapes.
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x, kernel[::-1, ::-1]) + bias
+        return y.reshape(b, 2 * h, 2 * w, self.features)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm replacement backed by a fused Pallas kernel.
+
+    Same parameters ('scale', 'bias') and numerics (fp32 statistics, biased
+    variance, eps inside the sqrt) as flax/torch LayerNorm, but one HBM read
+    + one write instead of XLA's convert/reduce + normalize fusion pair
+    (measured 0.10 ms -> ~0.02 ms per norm over the 5216-token stream).
+
+    `dtype` sets the OUTPUT dtype only. Hot call sites whose consumers are
+    bf16 Dense layers pass bf16 here: the consumer casts to bf16 anyway, so
+    emitting it directly is numerically identical and skips a convert pass.
+    Default (None) emits fp32 like flax nn.LayerNorm with f32 params.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from efficientsam3_tpu.ops.pallas.layer_norm import layer_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        return layer_norm(x, scale, bias, self.epsilon, jnp.dtype(out_dtype))
+
+
 ACT = {
     "relu": jax.nn.relu,
     "gelu": gelu_exact,

@@ -20,7 +20,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from efficientsam3_tpu.models.common import ACT, MultiheadAttention
+from efficientsam3_tpu.models.common import ACT, FusedLayerNorm, MultiheadAttention
 
 
 class FusionEncoderLayer(nn.Module):
@@ -52,8 +52,13 @@ class FusionEncoderLayer(nn.Module):
         assert self.pre_norm, "builder uses pre-norm only"
         act = ACT[self.activation]
         do = lambda x: nn.Dropout(self.dropout, deterministic=not train)(x)
+        if self.dtype is not None and query_pos is not None:
+            # the norms below emit compute dtype (bf16); keep the pos-add in
+            # that dtype too or the sum re-promotes to f32 (an extra 5 MB
+            # HBM pass per layer). The q/k projections cast to bf16 anyway.
+            query_pos = query_pos.astype(self.dtype)
 
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
+        t2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
         qk = t2 + query_pos if (self.pos_enc_at_attn and query_pos is not None) else t2
         t2 = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
@@ -61,7 +66,7 @@ class FusionEncoderLayer(nn.Module):
         )(qk, qk, t2, key_padding_mask=tgt_key_padding_mask)
         tgt = tgt + do(t2)
 
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
+        t2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
         q = t2 + query_pos if (self.pos_enc_at_cross_attn_queries and query_pos is not None) else t2
         k = memory + pos if (self.pos_enc_at_cross_attn_keys and pos is not None) else memory
         t2 = MultiheadAttention(
@@ -70,7 +75,7 @@ class FusionEncoderLayer(nn.Module):
         )(q, k, memory, key_padding_mask=memory_key_padding_mask)
         tgt = tgt + do(t2)
 
-        t2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
+        t2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         t2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(t2)
         t2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(do(act(t2)))
         return tgt + do(t2)

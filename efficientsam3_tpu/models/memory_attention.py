@@ -39,7 +39,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from efficientsam3_tpu.models.common import ACT, RoPEAttention
+from efficientsam3_tpu.models.common import ACT, FusedLayerNorm, RoPEAttention
 
 
 class MemoryAttentionLayer(nn.Module):
@@ -55,9 +55,11 @@ class MemoryAttentionLayer(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.norm1 = nn.LayerNorm(epsilon=1e-5)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5)
-        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        # fused Pallas norms emit compute dtype directly: every consumer
+        # (RoPEAttention q/k/v Dense, FFN Dense) casts to it anyway
+        self.norm1 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = FusedLayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = RoPEAttention(
             self.d_model, self.num_heads, dtype=self.dtype
         )
@@ -160,7 +162,7 @@ class MemoryAttention(nn.Module):
             )
             for i in range(self.num_layers)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-5)
+        self.norm = FusedLayerNorm(epsilon=1e-5)
 
     def _prep(self, src, src_pos, memory_mask):
         if src_pos is not None and src_pos.ndim == 2:

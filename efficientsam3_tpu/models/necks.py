@@ -21,7 +21,11 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from efficientsam3_tpu.models.common import gelu_exact, sine_pos_embed_2d
+from efficientsam3_tpu.models.common import (
+    ConvTranspose2x,
+    gelu_exact,
+    sine_pos_embed_2d,
+)
 
 
 class _ScaleBranch(nn.Module):
@@ -33,17 +37,11 @@ class _ScaleBranch(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         if self.scale == 4.0:
-            x = nn.ConvTranspose(
-                dim // 2, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="dconv_0"
-            )(x)
+            x = ConvTranspose2x(dim // 2, dtype=self.dtype, name="dconv_0")(x)
             x = gelu_exact(x)
-            x = nn.ConvTranspose(
-                dim // 4, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="dconv_1"
-            )(x)
+            x = ConvTranspose2x(dim // 4, dtype=self.dtype, name="dconv_1")(x)
         elif self.scale == 2.0:
-            x = nn.ConvTranspose(
-                dim // 2, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype, name="dconv_0"
-            )(x)
+            x = ConvTranspose2x(dim // 2, dtype=self.dtype, name="dconv_0")(x)
         elif self.scale == 1.0:
             pass
         elif self.scale == 0.5:
