@@ -304,26 +304,36 @@ def main():
     )
 
     # ---- cached-bank tracker step (TrackerPredictor's default path):
-    # per-frame work = bank stack + cached memory attention + SAM heads +
-    # encode_memory + the NEW entry's k/v projection (cache fill); the
-    # ~36k memory tokens' per-layer k/v projections are NOT repeated
+    # per-frame work = ONE bank-column update (the bank is persistent in
+    # predictor state; re-stacking all 7 entries cost ~6 ms/frame of HBM
+    # shuffling, r5) + cached memory attention + SAM heads + encode_memory
+    # + the NEW entry's k/v projection (cache fill); the ~36k memory
+    # tokens' per-layer k/v projections are NOT repeated
     n_mem = tracker.num_maskmem
     pe = jax.jit(
         lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv)
     )
     k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
+    k_bank0 = jnp.stack(k_entries, axis=2)
+    v_bank0 = jnp.stack(v_entries, axis=1)  # raw mem_dim entries
     kv_delta = jax.jit(
         lambda v: tracker.apply(v, method=tracker.tpos_k_delta)
     )(tvars)
 
-    def track_cached_sum(seed, v, pos, k_es, v_es, tpos, mvalid, ptrs,
-                         tdiff, pvalid, s0, s1, delta):
+    def track_cached_sum(seed, v, pos, k_bank, v_bank, k_e, v_e, tpos,
+                         mvalid, ptrs, tdiff, pvalid, s0, s1, delta):
         tok = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(11), seed),
             (s_obj, fs * fs, d), jnp.float32,
         )
-        k_bank = jnp.stack(k_es, axis=2)
-        v_bank = jnp.stack(v_es, axis=1)  # raw mem_dim entries
+        # per-frame bank maintenance: the newest entry replaces a column
+        col = jnp.mod(seed, n_mem)
+        k_bank = jax.lax.dynamic_update_slice(
+            k_bank, k_e[:, :, None], (0, 0, col, 0, 0)
+        )
+        v_bank = jax.lax.dynamic_update_slice(
+            v_bank, v_e[:, None], (0, col, 0, 0)
+        )
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,
@@ -349,8 +359,8 @@ def main():
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
         )
 
-    tcargs = (tvars, pos, tuple(k_entries), tuple(v_entries), tpos, mvalid,
-              ptrs, tdiff, pvalid, s0, s1, kv_delta)
+    tcargs = (tvars, pos, k_bank0, v_bank0, k_entries[0], v_entries[0],
+              tpos, mvalid, ptrs, tdiff, pvalid, s0, s1, kv_delta)
     extras["tracker_step_cached_ms_frame"] = round(
         two_point_step_time(jax, jnp, track_cached_sum, 32, tcargs) * 1e3, 3
     )
@@ -371,8 +381,8 @@ def main():
 
     n_dets = 20
 
-    def video_pcs_sum(seed, v, tv, pos, k_es, v_es, tpos, mvalid, ptrs,
-                      tdiff, pvalid, s0, s1, delta):
+    def video_pcs_sum(seed, v, tv, pos, k_bank, v_bank, k_e, v_e, tpos,
+                      mvalid, ptrs, tdiff, pvalid, s0, s1, delta):
         x = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(23), seed),
             (1, 1008, 1008, 3), jnp.float32,
@@ -391,8 +401,13 @@ def main():
             jax.random.fold_in(jax.random.PRNGKey(11), seed),
             (s_obj, fs * fs, d), jnp.float32,
         )
-        k_bank = jnp.stack(k_es, axis=2)
-        v_bank = jnp.stack(v_es, axis=1)
+        col = jnp.mod(seed, n_mem)  # persistent bank: one column update
+        k_bank = jax.lax.dynamic_update_slice(
+            k_bank, k_e[:, :, None], (0, 0, col, 0, 0)
+        )
+        v_bank = jax.lax.dynamic_update_slice(
+            v_bank, v_e[:, None], (0, col, 0, 0)
+        )
         cond = tracker.apply(
             tv, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,

@@ -220,12 +220,16 @@ class MaskDecoder(nn.Module):
                 self.pred_obj_score_head = MLP(d, 1, 3, name="pred_obj_score_head")
             else:
                 self.pred_obj_score_head = nn.Dense(1, name="pred_obj_score_head")
-        self.up_dconv1 = ConvTranspose2x(
-            d // 4, dtype=self.dtype, name="output_upscaling_0"
+        # NOTE: these stay nn.ConvTranspose — the ConvTranspose2x einsum
+        # formulation that wins at the neck shapes (1024ch) lowers to a
+        # multiply+reduce with materialized broadcast constants at these
+        # small channel counts (64/32ch at 8-slot batch), measured slower.
+        self.up_dconv1 = nn.ConvTranspose(
+            d // 4, (2, 2), strides=(2, 2), padding="VALID", name="output_upscaling_0"
         )
         self.up_ln = LayerNorm2d(name="output_upscaling_ln")
-        self.up_dconv2 = ConvTranspose2x(
-            d // 8, dtype=self.dtype, name="output_upscaling_1"
+        self.up_dconv2 = nn.ConvTranspose(
+            d // 8, (2, 2), strides=(2, 2), padding="VALID", name="output_upscaling_1"
         )
         if self.use_high_res_features:
             # Owned here but applied on the SAM2-neck FPN levels by callers

@@ -422,8 +422,31 @@ def _memattn_kernel(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
         o_ref[0] = (acc_ref[:dv] / l).astype(o_ref.dtype)
 
 
+def _memattn_kernel_lse(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
+                        lse_ref, acc_ref, m_ref, *, sm_scale: float,
+                        blocks_k: int, heads: int):
+    """_memattn_kernel variant that also emits the log-sum-exp per query —
+    used to merge the memory-bank segment with the (separately attended)
+    object-pointer segment without concatenating pointer keys onto the
+    ~148 MB bank per layer (tracker cached path)."""
+    _memattn_kernel(
+        kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref, acc_ref, m_ref,
+        sm_scale=sm_scale, blocks_k=blocks_k, heads=heads,
+    )
+    ki = pl.program_id(2)
+    dv = o_ref.shape[1]
+
+    @pl.when(ki == blocks_k - 1)
+    def _write_lse():
+        m = m_ref[:1, :]
+        l = acc_ref[dv:dv + 1, :]
+        lse = jnp.where(m > NEG_INF / 2, m + jnp.log(jnp.maximum(l, 1e-30)),
+                        NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
-                  block_k=None, interpret=False):
+                  block_k=None, interpret=False, return_lse=False):
     """Forward-only flash attention with dv != dk (see _memattn_kernel).
 
     q (B,H,Lq,Dk); k (B,H,Lk,Dk); v (B,H,Lk,Dv) with Dv a multiple of 8;
@@ -444,8 +467,16 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
         # wide kv blocks amortize per-grid-step overhead; bounded so the
         # f32 logits block stays within VMEM. Measured at the tracker
         # shape (8, 5184q, 36416kv, dk256/dv64): 2048 -> 7.29 ms vs
-        # 512 -> 8.44 at bq=768 (old (1024,512) default: 9.20)
+        # 512 -> 8.44 at bq=768 (old (1024,512) default: 9.20).
+        # bk is the sublane axis of the k block but the LANE axis of the
+        # transposed v/o blocks, so candidates must stay multiples of 128;
+        # an exact divisor of Lk near 2048 avoids dead padded keys when
+        # one exists (e.g. Lk = 32768 -> 2048 exact).
         block_k = 2048 if block_q * 2048 * 4 <= 6_500_000 else 512
+        for cand in range(block_k, block_k // 2, -128):
+            if lk % cand == 0:
+                block_k = cand
+                break
     g = b * h
 
     pad_q = (-lq) % block_q
@@ -472,31 +503,57 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
     vt = v.transpose(0, 1, 3, 2).reshape(g, dv, lkp)
 
     grid = (g, lqp // block_q, blocks_k)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, block_k, dk), lambda gi, qi, ki: (gi, ki, 0)),
+        pl.BlockSpec((1, dk, block_q), lambda gi, qi, ki: (gi, 0, qi)),
+        pl.BlockSpec((1, dv, block_k), lambda gi, qi, ki: (gi, 0, ki)),
+        pl.BlockSpec(
+            (1, block_k, 1), lambda gi, qi, ki, h_=h: (gi // h_, ki, 0)
+        ),
+    ]
+    scratch = [
+        pltpu.VMEM((dv + 8, block_q), jnp.float32),  # acc + folded l
+        pltpu.VMEM((8, block_q), jnp.float32),  # running max
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    o_spec = pl.BlockSpec((1, dv, block_q), lambda gi, qi, ki: (gi, 0, qi))
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _memattn_kernel_lse, sm_scale=sm_scale, blocks_k=blocks_k,
+                heads=h,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                o_spec,
+                pl.BlockSpec((1, 8, block_q), lambda gi, qi, ki: (gi, 0, qi)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, dv, lqp), q.dtype),
+                jax.ShapeDtypeStruct((g, 8, lqp), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(kvalid, kg, qt, vt, bias_t)
+        return (
+            out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq],
+            lse[:, 0].reshape(b, h, lqp)[:, :, :lq],
+        )
     out = pl.pallas_call(
         functools.partial(
             _memattn_kernel, sm_scale=sm_scale, blocks_k=blocks_k, heads=h
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_k, dk), lambda gi, qi, ki: (gi, ki, 0)),
-            pl.BlockSpec((1, dk, block_q), lambda gi, qi, ki: (gi, 0, qi)),
-            pl.BlockSpec((1, dv, block_k), lambda gi, qi, ki: (gi, 0, ki)),
-            pl.BlockSpec(
-                (1, block_k, 1), lambda gi, qi, ki, h_=h: (gi // h_, ki, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, dv, block_q), lambda gi, qi, ki: (gi, 0, qi)
-        ),
+        in_specs=in_specs,
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((g, dv, lqp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((dv + 8, block_q), jnp.float32),  # acc + folded l
-            pltpu.VMEM((8, block_q), jnp.float32),  # running max
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        scratch_shapes=scratch,
+        compiler_params=params,
         interpret=interpret,
     )(kvalid, kg, qt, vt, bias_t)
 

@@ -152,6 +152,7 @@ class TrackerPredictor:
         self.cache_kv = cache_memory_kv and mesh is None
         self._kv_delta = None  # lazily jitted tpos_k_delta(variables)
         self._kv_zero = None  # zero (k, v) entry for invalid bank slots
+        self._kv_update = None  # lazily jitted donated bank column update
 
         if mesh is None:
             self._track = jax.jit(_track, static_argnums=(13,))
@@ -536,34 +537,93 @@ class TrackerPredictor:
             out = state["cond_frames"].get(t)
         return out
 
-    def _assemble_kv_bank(self, state, src, n_act):
+    def _assemble_kv_bank(self, state, src, n_act, tpos, valid):
         """Cached-bank assembly: one (slots, L, S_e, C) k/v pair per bank
-        position, stacked on device. Applicable when every active slot
-        selects the SAME frame per bank position (the common tracking case;
-        per-slot divergence after mid-video prompts falls back to the plain
-        reprojection path) and each selected frame still has its cache."""
+        column. Applicable when every active slot selects the SAME frame per
+        bank position (the common tracking case; per-slot divergence after
+        mid-video prompts falls back to the plain reprojection path).
+
+        The bank is a PERSISTENT device array in ``state`` updated by
+        dynamic-update-slice: the 7-entry bank is ~594 MB at flagship dims,
+        and re-stacking it from per-frame entries cost ~6 ms/frame of pure
+        HBM shuffling (profiled r5). Per frame only the 1-2 columns whose
+        frame changed are written (~90 MB). Column order is arbitrary —
+        temporal position is carried by ``tpos``/``valid``, which this
+        method permutes to match the column map (bank slot j holds whatever
+        frame it held last time if that frame is still selected).
+
+        Returns (k_bank, v_bank, tpos_by_column, valid_by_column) or None.
+        """
         if n_act == 0:
             return None
         rows = src[:n_act]
         if not (rows == rows[0]).all():
             return None
-        entries = []
-        for t in rows[0]:
-            if t < 0:
-                entries.append(None)
-                continue
-            out = self._lookup_out(state, int(t))
-            if out is None or "mem_kv" not in out:
-                return None
-            entries.append(out["mem_kv"])
-        if self._kv_zero is None:
-            ref = next(e for e in entries if e is not None)
-            self._kv_zero = tuple(jnp.zeros_like(a) for a in ref)
-        ks = [self._kv_zero[0] if e is None else e[0] for e in entries]
-        vs = [self._kv_zero[1] if e is None else e[1] for e in entries]
-        # k (slots, L, S_e, C) stacks to (slots, L, n_mem, S_e, C);
-        # raw v (slots, S_e, md) stacks to (slots, n_mem, S_e, md)
-        return jnp.stack(ks, axis=2), jnp.stack(vs, axis=1)
+        desired = [int(t) for t in rows[0]]
+        desired_set = {t for t in desired if t >= 0}
+        n_mem = len(desired)
+        bank = state.get("kv_bank")
+        bmap = state.get("kv_bank_frames")
+        if bank is None:
+            entries = []
+            for t in desired:
+                if t < 0:
+                    entries.append(None)
+                    continue
+                out = self._lookup_out(state, t)
+                if out is None or "mem_kv" not in out:
+                    return None
+                entries.append(out["mem_kv"])
+            if self._kv_zero is None:
+                ref = next(e for e in entries if e is not None)
+                self._kv_zero = tuple(jnp.zeros_like(a) for a in ref)
+            ks = [self._kv_zero[0] if e is None else e[0] for e in entries]
+            vs = [self._kv_zero[1] if e is None else e[1] for e in entries]
+            # k (slots, L, S_e, C) stacks to (slots, L, n_mem, S_e, C);
+            # raw v (slots, S_e, md) stacks to (slots, n_mem, S_e, md)
+            bank = (jnp.stack(ks, axis=2), jnp.stack(vs, axis=1))
+            bmap = list(desired)
+        else:
+            held = {f: j for j, f in enumerate(bmap) if f in desired_set}
+            free = [j for j, f in enumerate(bmap) if f not in desired_set]
+            for t in desired:
+                if t < 0 or t in held:
+                    continue
+                out = self._lookup_out(state, t)
+                if out is None or "mem_kv" not in out:
+                    return None
+                k_e, v_e = out["mem_kv"]
+                j = free.pop()
+                if self._kv_update is None:
+                    import functools
+
+                    @functools.partial(jax.jit, donate_argnums=(0, 1))
+                    def _upd(kb, vb, ke, ve, col):
+                        kb = jax.lax.dynamic_update_slice(
+                            kb, ke[:, :, None], (0, 0, col, 0, 0)
+                        )
+                        vb = jax.lax.dynamic_update_slice(
+                            vb, ve[:, None], (0, col, 0, 0)
+                        )
+                        return kb, vb
+
+                    self._kv_update = _upd
+                bank = self._kv_update(bank[0], bank[1], k_e, v_e,
+                                       jnp.int32(j))
+                bmap[j] = t
+                held[t] = j
+        state["kv_bank"] = bank
+        state["kv_bank_frames"] = bmap
+        # permute host-side tpos/valid from desired order to column order
+        pos_of = {f: i for i, f in enumerate(desired) if f >= 0}
+        tpos_c = np.zeros_like(tpos)
+        valid_c = np.zeros_like(valid)
+        for j in range(n_mem):
+            i = pos_of.get(bmap[j])
+            if i is not None:
+                tpos_c[:, j] = tpos[:, i]
+                valid_c[:, j] = valid[:, i]
+        return bank[0], bank[1], tpos_c, valid_c
 
     def _run_track_frame(self, state, frame_idx, reverse=False):
         tokens, s0, s1 = self._features(state, frame_idx)
@@ -583,9 +643,11 @@ class TrackerPredictor:
         max_td = float(min(state["num_frames"], self.core.max_obj_ptrs))
         n_act = len(state["obj_ids"])
         bank = (
-            self._assemble_kv_bank(state, src, n_act) if self.cache_kv else None
+            self._assemble_kv_bank(state, src, n_act, tpos, valid)
+            if self.cache_kv else None
         )
         if bank is not None:
+            tpos, valid = bank[2], bank[3]
             if self._kv_delta is None:
                 self._kv_delta = jax.jit(
                     lambda v: self.core.apply(v, method=self.core.tpos_k_delta)

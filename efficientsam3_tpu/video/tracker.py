@@ -164,13 +164,14 @@ class TrackerCore(nn.Module):
         """Per-layer cached cross-attention keys of one memory entry.
 
         mem (B, Hm, Wm, mem_dim) from encode_memory. Returns
-        (k (B, L, Hm*Wm, internal_dim), v_raw (B, Hm*Wm, mem_dim)):
+        (k (L, B, Hm*Wm, internal_dim), v_raw (B, Hm*Wm, mem_dim)):
         k includes the spatial sine pos and rotary encoding
         (frame-invariant), NOT the slot-age temporal embedding (added at
         attend time via tpos_k_delta); v_raw is the raw memory tokens —
         values are attended unprojected and up-projected after attention
         (attend_projected_rawv), so the value cache is mem_dim wide and
-        layer-independent."""
+        layer-independent. The layer axis leads so the persistent bank
+        (L, B, n_mem, S_e, C) slices per layer without copies."""
         from efficientsam3_tpu.models.common import sine_pos_embed_2d
 
         b, hm, wm, md = mem.shape
@@ -212,7 +213,7 @@ class TrackerCore(nn.Module):
         self,
         vision_tokens,  # (B, HW, C)
         vision_pos,  # (HW, C) or (B, HW, C)
-        k_bank,  # (B, L, num_maskmem, S_e, C) cached entry keys
+        k_bank,  # (L, B, num_maskmem, S_e, C) cached entry keys
         v_bank,  # (B, num_maskmem, S_e, mem_dim) RAW entry tokens
         mem_tpos_idx,  # (B, num_maskmem) int
         mem_valid,  # (B, num_maskmem) bool
@@ -228,18 +229,19 @@ class TrackerCore(nn.Module):
         queries and the object-pointer tokens are projected; the ~36k memory
         tokens' keys come from the cache with an additive age delta, and
         their values stay raw mem_dim tokens (up-projected after attention,
-        exactly — attend_projected_rawv)."""
-        b, n_layers, n_mem, s_e, c = k_bank.shape
+        exactly — attend_projected_rawv).
+
+        HBM discipline (the bank is ~148 MB/layer at flagship dims): the
+        layer axis leads so per-layer slices are views; the age-delta
+        gather+add is the ONLY per-layer pass over the bank; pointer keys
+        are attended as a separate segment and merged by log-sum-exp
+        (attend_projected_rawv_2seg) instead of concatenated."""
+        n_layers, b, n_mem, s_e, c = k_bank.shape
         cd = self.d_model
         md = self.mem_dim
 
         age = self.num_maskmem - 1 - mem_tpos_idx  # (B, n_mem)
-        # (L, B, n_mem, S_e, C) -> (B, L, n_mem, S_e, C)
-        d_sel = tpos_delta[:, age].transpose(1, 0, 2, 3, 4)
-        k_mem = (k_bank + d_sel.astype(k_bank.dtype)).reshape(
-            b, n_layers, 1, n_mem * s_e, c
-        )
-        v_mem = v_bank.reshape(b, n_mem * s_e, md)
+        v_mem = v_bank.reshape(b, 1, n_mem * s_e, md)
         mem_mask = ~jnp.repeat(mem_valid, s_e, axis=1)
 
         # object pointers: tiny, projected per frame per layer
@@ -253,23 +255,25 @@ class TrackerCore(nn.Module):
         ptr_pos = jnp.repeat(tpe, split, axis=1)
         ptr_mask = ~jnp.repeat(ptr_valid, split, axis=1)
 
-        ks = []
+        k_mem_layers = []
+        k_ptr_layers = []
         for li, layer in enumerate(self.memory_attention.layers):
+            d_sel = tpos_delta[li][age]  # (B, n_mem, S_e, C) gather
+            k_mem_layers.append(
+                (k_bank[li] + d_sel.astype(k_bank.dtype)).reshape(
+                    b, 1, n_mem * s_e, c
+                )
+            )
             k_in = ptr_tok + ptr_pos if layer.pos_enc_at_cross_attn_keys else ptr_tok
             kp, _ = layer.cross_attn_image.project_kv(
                 k_in, ptr_tok, grid_tokens=s_e,
                 num_k_exclude_rope=n_ptr * split,
             )
-            ks.append(jnp.concatenate([k_mem[:, li], kp], axis=-2))
-        k_layers = jnp.stack(ks, axis=1)  # (B, L, 1, S, C)
-        # raw values: memory tokens then pointer tokens, layer-shared
-        v_raw = jnp.concatenate(
-            [v_mem, ptr_tok.astype(v_mem.dtype)], axis=1
-        )[:, None]  # (B, 1, S, md)
-        memory_mask = jnp.concatenate([mem_mask, ptr_mask], axis=1)
+            k_ptr_layers.append(kp)
+        v_ptr = ptr_tok.astype(v_mem.dtype)[:, None]  # (B, 1, S_ptr, md)
         return self.memory_attention.forward_cached(
-            vision_tokens, vision_pos, k_layers, v_raw, memory_mask,
-            train=train,
+            vision_tokens, vision_pos, k_mem_layers, v_mem, mem_mask,
+            k_ptr_layers, v_ptr, ptr_mask, train=train,
         )
 
     # ------------------------------------------------------------------

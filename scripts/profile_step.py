@@ -95,15 +95,20 @@ def build_tracker():
     pe = jax.jit(
         lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv))
     k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
+    k_bank0 = jnp.stack(k_entries, axis=2)
+    v_bank0 = jnp.stack(v_entries, axis=1)
     kv_delta = jax.jit(
         lambda v: tracker.apply(v, method=tracker.tpos_k_delta))(tvars)
     tok = jax.random.uniform(
         jax.random.PRNGKey(11), (s_obj, fs * fs, d), jnp.float32)
 
     @jax.jit
-    def step(v, tok, pos, k_es, v_es, delta):
-        k_bank = jnp.stack(k_es, axis=2)
-        v_bank = jnp.stack(v_es, axis=1)
+    def step(v, tok, pos, k_bank, v_bank, k_e, v_e, delta):
+        # persistent bank in predictor state: one column DUS per frame
+        k_bank = jax.lax.dynamic_update_slice(
+            k_bank, k_e[:, :, None], (0, 0, 0, 0, 0))
+        v_bank = jax.lax.dynamic_update_slice(
+            v_bank, v_e[:, None], (0, 0, 0, 0))
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,
@@ -128,8 +133,8 @@ def build_tracker():
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
         )
 
-    return step, (tvars, tok, pos, tuple(k_entries), tuple(v_entries),
-                  kv_delta)
+    return step, (tvars, tok, pos, k_bank0, v_bank0, k_entries[0],
+                  v_entries[0], kv_delta)
 
 
 def main():
