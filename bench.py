@@ -314,8 +314,10 @@ def main():
         lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv)
     )
     k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
-    k_bank0 = jnp.stack(k_entries, axis=2)
-    v_bank0 = jnp.stack(v_entries, axis=1)  # raw mem_dim entries
+    from efficientsam3_tpu.video.tracker import flatten_kv_bank
+
+    k_bank0, v_bank0 = flatten_kv_bank(k_entries, v_entries)
+    s_e_bank = k_entries[0].shape[2]
     kv_delta = jax.jit(
         lambda v: tracker.apply(v, method=tracker.tpos_k_delta)
     )(tvars)
@@ -327,13 +329,9 @@ def main():
             (s_obj, fs * fs, d), jnp.float32,
         )
         # per-frame bank maintenance: the newest entry replaces a column
-        col = jnp.mod(seed, n_mem)
-        k_bank = jax.lax.dynamic_update_slice(
-            k_bank, k_e[:, :, None], (0, 0, col, 0, 0)
-        )
-        v_bank = jax.lax.dynamic_update_slice(
-            v_bank, v_e[:, None], (0, col, 0, 0)
-        )
+        row = jnp.mod(seed, n_mem) * s_e_bank
+        k_bank = jax.lax.dynamic_update_slice(k_bank, k_e, (0, 0, row, 0))
+        v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, row, 0))
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,
@@ -401,13 +399,9 @@ def main():
             jax.random.fold_in(jax.random.PRNGKey(11), seed),
             (s_obj, fs * fs, d), jnp.float32,
         )
-        col = jnp.mod(seed, n_mem)  # persistent bank: one column update
-        k_bank = jax.lax.dynamic_update_slice(
-            k_bank, k_e[:, :, None], (0, 0, col, 0, 0)
-        )
-        v_bank = jax.lax.dynamic_update_slice(
-            v_bank, v_e[:, None], (0, col, 0, 0)
-        )
+        row = jnp.mod(seed, n_mem) * s_e_bank  # persistent bank: one column
+        k_bank = jax.lax.dynamic_update_slice(k_bank, k_e, (0, 0, row, 0))
+        v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, row, 0))
         cond = tracker.apply(
             tv, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,

@@ -26,16 +26,19 @@ from jax.experimental.pallas import tpu as pltpu
 def _dw_kernel(x_ref, w_ref, b_ref, o_ref, *, k: int):
     h, w, c = x_ref.shape[1:]
     p = k // 2
-    # padded copy stays in the input dtype (a f32 copy pushes the block
-    # budget past the 16 MB VMEM limit at (8, 72, 72, 256)); each tap
-    # upcasts on the fly, accumulation is f32
-    xp = jnp.pad(x_ref[0], ((p, p), (p, p), (0, 0)))
+    # pad AND upcast once: converting per tap costs k*k full-map converts
+    # on the VPU (measured ~2x the whole kernel at 7x7); the f32 padded
+    # copy fits VMEM at the 128-lane channel blocking ((78, 78, 128) f32
+    # = 3.1 MB)
+    xp = jnp.pad(x_ref[0].astype(jnp.float32), ((p, p), (p, p), (0, 0)))
     acc = jnp.zeros((h, w, c), jnp.float32)
-    for di in range(k):
-        for dj in range(k):
-            acc = acc + w_ref[di, dj] * xp[di:di + h, dj:dj + w, :].astype(
-                jnp.float32
-            )
+    # W is the SUBLANE axis of the (h, w, c) block: a w-offset slice costs
+    # a sublane realignment of the whole map, so hoist it out of the di
+    # loop — k shifted views (materialized once each) instead of k*k
+    for dj in range(k):
+        xj = xp[:, dj:dj + w, :]  # (h + 2p, w, c): one sublane shift
+        for di in range(k):
+            acc = acc + w_ref[di, dj] * xj[di:di + h]  # h-slices are free
     o_ref[0] = (acc + b_ref[0]).astype(o_ref.dtype)
 
 

@@ -445,6 +445,18 @@ def _memattn_kernel_lse(kvalid_ref, k_ref, qt_ref, vt_ref, bias_ref, o_ref,
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def padded_bank_len(lk: int) -> int:
+    """Key count rounded up so the default block_k tiles it exactly.
+
+    Persistent-key-bank callers (the tracker's cached memory bank) pre-pad
+    the key axis ONCE to this length — flash_memattn's per-call block
+    padding then becomes a no-op instead of a fresh ~148 MB/layer copy of
+    the bank every frame. Pad rows must be masked (key_bias = -inf)."""
+    if lk >= 2048:
+        return -(-lk // 2048) * 2048
+    return -(-lk // 128) * 128
+
+
 def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
                   block_k=None, interpret=False, return_lse=False):
     """Forward-only flash attention with dv != dk (see _memattn_kernel).

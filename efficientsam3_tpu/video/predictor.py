@@ -538,8 +538,9 @@ class TrackerPredictor:
         return out
 
     def _assemble_kv_bank(self, state, src, n_act, tpos, valid):
-        """Cached-bank assembly: one (slots, L, S_e, C) k/v pair per bank
-        column. Applicable when every active slot selects the SAME frame per
+        """Cached-bank assembly: one (L, slots, S_e, C) k/v entry per bank
+        column, kept flat and pre-padded (tracker.flatten_kv_bank).
+        Applicable when every active slot selects the SAME frame per
         bank position (the common tracking case; per-slot divergence after
         mid-video prompts falls back to the plain reprojection path).
 
@@ -579,9 +580,11 @@ class TrackerPredictor:
                 self._kv_zero = tuple(jnp.zeros_like(a) for a in ref)
             ks = [self._kv_zero[0] if e is None else e[0] for e in entries]
             vs = [self._kv_zero[1] if e is None else e[1] for e in entries]
-            # k (slots, L, S_e, C) stacks to (slots, L, n_mem, S_e, C);
-            # raw v (slots, S_e, md) stacks to (slots, n_mem, S_e, md)
-            bank = (jnp.stack(ks, axis=2), jnp.stack(vs, axis=1))
+            # k (L, slots, S_e, C) entries concatenate into the flat
+            # pre-padded bank (L, slots, S_pad, C) / (slots, S_pad, md)
+            from efficientsam3_tpu.video.tracker import flatten_kv_bank
+
+            bank = flatten_kv_bank(ks, vs)
             bmap = list(desired)
         else:
             held = {f: j for j, f in enumerate(bmap) if f in desired_set}
@@ -598,18 +601,18 @@ class TrackerPredictor:
                     import functools
 
                     @functools.partial(jax.jit, donate_argnums=(0, 1))
-                    def _upd(kb, vb, ke, ve, col):
+                    def _upd(kb, vb, ke, ve, row):
+                        # flat bank: entry j occupies rows [j*S_e, (j+1)*S_e)
                         kb = jax.lax.dynamic_update_slice(
-                            kb, ke[:, :, None], (0, 0, col, 0, 0)
+                            kb, ke, (0, 0, row, 0)
                         )
-                        vb = jax.lax.dynamic_update_slice(
-                            vb, ve[:, None], (0, col, 0, 0)
-                        )
+                        vb = jax.lax.dynamic_update_slice(vb, ve, (0, row, 0))
                         return kb, vb
 
                     self._kv_update = _upd
+                s_e = k_e.shape[2]
                 bank = self._kv_update(bank[0], bank[1], k_e, v_e,
-                                       jnp.int32(j))
+                                       jnp.int32(j * s_e))
                 bmap[j] = t
                 held[t] = j
         state["kv_bank"] = bank

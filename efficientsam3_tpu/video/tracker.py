@@ -213,8 +213,8 @@ class TrackerCore(nn.Module):
         self,
         vision_tokens,  # (B, HW, C)
         vision_pos,  # (HW, C) or (B, HW, C)
-        k_bank,  # (L, B, num_maskmem, S_e, C) cached entry keys
-        v_bank,  # (B, num_maskmem, S_e, mem_dim) RAW entry tokens
+        k_bank,  # (L, B, S_pad, C) cached entry keys, flat + pre-padded
+        v_bank,  # (B, S_pad, mem_dim) RAW entry tokens, flat + pre-padded
         mem_tpos_idx,  # (B, num_maskmem) int
         mem_valid,  # (B, num_maskmem) bool
         obj_ptrs,  # (B, max_obj_ptrs, C)
@@ -232,17 +232,27 @@ class TrackerCore(nn.Module):
         exactly — attend_projected_rawv).
 
         HBM discipline (the bank is ~148 MB/layer at flagship dims): the
-        layer axis leads so per-layer slices are views; the age-delta
-        gather+add is the ONLY per-layer pass over the bank; pointer keys
-        are attended as a separate segment and merged by log-sum-exp
-        (attend_projected_rawv_2seg) instead of concatenated."""
-        n_layers, b, n_mem, s_e, c = k_bank.shape
+        layer axis leads so per-layer slices are views; the bank arrives
+        flat and PRE-PADDED to the kernel's block grid (flatten_kv_bank),
+        so the age-delta gather+add is the ONLY per-layer pass over the
+        bank (no per-call pad copy); pointer keys are attended as a
+        separate segment and merged by log-sum-exp
+        (attend_projected_rawv_2seg) instead of concatenated. Pad rows are
+        masked via mem_mask."""
+        n_layers, b, s_pad, c = k_bank.shape
+        n_mem = mem_valid.shape[1]
+        s_e = tpos_delta.shape[2]
+        s_tot = n_mem * s_e
         cd = self.d_model
         md = self.mem_dim
 
         age = self.num_maskmem - 1 - mem_tpos_idx  # (B, n_mem)
-        v_mem = v_bank.reshape(b, 1, n_mem * s_e, md)
+        v_mem = v_bank[:, None]  # (B, 1, S_pad, md)
         mem_mask = ~jnp.repeat(mem_valid, s_e, axis=1)
+        if s_pad != s_tot:
+            mem_mask = jnp.pad(
+                mem_mask, ((0, 0), (0, s_pad - s_tot)), constant_values=True
+            )
 
         # object pointers: tiny, projected per frame per layer
         n_ptr = obj_ptrs.shape[1]
@@ -257,13 +267,20 @@ class TrackerCore(nn.Module):
 
         k_mem_layers = []
         k_ptr_layers = []
+        zero_tail = (
+            jnp.zeros((b, s_pad - s_tot, c), k_bank.dtype)
+            if s_pad != s_tot else None
+        )
         for li, layer in enumerate(self.memory_attention.layers):
-            d_sel = tpos_delta[li][age]  # (B, n_mem, S_e, C) gather
-            k_mem_layers.append(
-                (k_bank[li] + d_sel.astype(k_bank.dtype)).reshape(
-                    b, 1, n_mem * s_e, c
-                )
-            )
+            # gather per-entry age deltas and add them to the leading
+            # (valid) rows of the padded bank slice; explicit slice + add +
+            # concat (NOT .at[].add, which lowers to a 2.6 ms scatter) —
+            # pad rows are zeros and masked, so a fresh zero tail is exact
+            d_sel = tpos_delta[li][age].reshape(b, s_tot, c)
+            k_adj = k_bank[li, :, :s_tot] + d_sel.astype(k_bank.dtype)
+            if zero_tail is not None:
+                k_adj = jnp.concatenate([k_adj, zero_tail], axis=1)
+            k_mem_layers.append(k_adj[:, None])  # (B, 1, S_pad, C)
             k_in = ptr_tok + ptr_pos if layer.pos_enc_at_cross_attn_keys else ptr_tok
             kp, _ = layer.cross_attn_image.project_kv(
                 k_in, ptr_tok, grid_tokens=s_e,
@@ -405,6 +422,30 @@ class TrackerCore(nn.Module):
         is_obj = (object_score_logits > 0).astype(mem.dtype)  # (B, 1)
         mem = mem + (1.0 - is_obj[:, :, None, None]) * self.no_obj_embed_spatial[0]
         return mem  # (B, Hm, Wm, mem_dim); pos is a pure fn of shape
+
+
+def flatten_kv_bank(k_entries, v_entries):
+    """Stack per-entry caches into the flat pre-padded persistent bank.
+
+    k_entries: n_mem sequence of (L, B, S_e, C) from encode_memory_kv;
+    v_entries: n_mem sequence of (B, S_e, mem_dim). Returns
+    (k_bank (L, B, S_pad, C), v_bank (B, S_pad, mem_dim)) with
+    S_pad = padded_bank_len(n_mem * S_e). Pad rows are zeros and stay
+    masked (condition_features_cached extends mem_mask over them) — the
+    one-time pad here makes flash_memattn's per-call block padding a
+    no-op instead of a fresh bank-sized copy every frame. Entry j
+    occupies rows [j*S_e, (j+1)*S_e); per-frame column updates are
+    dynamic-update-slices at those offsets."""
+    from efficientsam3_tpu.ops.pallas.flash_attention import padded_bank_len
+
+    k = jnp.concatenate(list(k_entries), axis=2)  # (L, B, n_mem*S_e, C)
+    v = jnp.concatenate(list(v_entries), axis=1)  # (B, n_mem*S_e, md)
+    s_tot = k.shape[2]
+    pad = padded_bank_len(s_tot) - s_tot
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    return k, v
 
 
 def init_tracker_variables(core: TrackerCore, rng):

@@ -55,8 +55,9 @@ def tracker_breakdown():
 
     pe = jax.jit(lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv))
     k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
-    k_bank = jnp.stack(k_entries, axis=2)
-    v_bank = jnp.stack(v_entries, axis=1)
+    from efficientsam3_tpu.video.tracker import flatten_kv_bank
+
+    k_bank, v_bank = flatten_kv_bank(k_entries, v_entries)
     delta = jax.jit(lambda v: tracker.apply(v, method=tracker.tpos_k_delta))(tvars)
 
     def tok_of(seed):

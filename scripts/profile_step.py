@@ -95,8 +95,9 @@ def build_tracker():
     pe = jax.jit(
         lambda v, m: tracker.apply(v, m, method=tracker.encode_memory_kv))
     k_entries, v_entries = zip(*(pe(tvars, mem[:, i]) for i in range(n_mem)))
-    k_bank0 = jnp.stack(k_entries, axis=2)
-    v_bank0 = jnp.stack(v_entries, axis=1)
+    from efficientsam3_tpu.video.tracker import flatten_kv_bank
+
+    k_bank0, v_bank0 = flatten_kv_bank(k_entries, v_entries)
     kv_delta = jax.jit(
         lambda v: tracker.apply(v, method=tracker.tpos_k_delta))(tvars)
     tok = jax.random.uniform(
@@ -104,11 +105,9 @@ def build_tracker():
 
     @jax.jit
     def step(v, tok, pos, k_bank, v_bank, k_e, v_e, delta):
-        # persistent bank in predictor state: one column DUS per frame
-        k_bank = jax.lax.dynamic_update_slice(
-            k_bank, k_e[:, :, None], (0, 0, 0, 0, 0))
-        v_bank = jax.lax.dynamic_update_slice(
-            v_bank, v_e[:, None], (0, 0, 0, 0))
+        # persistent flat bank in predictor state: one column DUS per frame
+        k_bank = jax.lax.dynamic_update_slice(k_bank, k_e, (0, 0, 0, 0))
+        v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, 0, 0))
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
             delta, method=tracker.condition_features_cached,

@@ -42,14 +42,16 @@ def _setup(num_heads=1):
 
 def _cached_bank(core, variables, mem):
     """Assemble the cached bank entry by entry (as the predictor does)."""
+    from efficientsam3_tpu.video.tracker import flatten_kv_bank
+
     b, n_mem = mem.shape[:2]
     ks, vs = [], []
     for i in range(n_mem):
         k, v = core.apply(variables, mem[:, i], method=core.encode_memory_kv)
         ks.append(k)
         vs.append(v)
-    # k (B, L, n_mem, S, C); raw v (B, n_mem, S, mem_dim)
-    return jnp.stack(ks, axis=2), jnp.stack(vs, axis=1)
+    # flat pre-padded bank: k (L, B, S_pad, C); raw v (B, S_pad, mem_dim)
+    return flatten_kv_bank(ks, vs)
 
 
 def test_cached_condition_features_parity():
