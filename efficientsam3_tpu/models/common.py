@@ -248,23 +248,40 @@ def sdpa_rawv(q, k, v_raw, mask=None, return_lse=False):
 
     return_lse: also return the per-query log-sum-exp (B, H, Lq) so the
     caller can merge this segment with another attention segment (the
-    cached tracker attends memory bank and pointer tokens separately)."""
+    cached tracker attends memory bank and pointer tokens separately).
+
+    k may be a (k_i8, k_scale) tuple (flash_attention.quantize_rows) —
+    the tracker's opt-in int8 memory bank. On TPU this dispatches to the
+    int8 MXU kernel (flash_memattn_q8); the fallback dequantizes k and
+    runs the einsum path (kernel-equivalent up to q's own int8 rounding,
+    which only the kernel applies)."""
     d = q.shape[-1]
-    if _flash_eligible(q, k, mask, None) and v_raw.shape[-1] % 8 == 0:
+    k_quant = isinstance(k, tuple)
+    k_arr = k[0] if k_quant else k
+    if _flash_eligible(q, k_arr, mask, None) and v_raw.shape[-1] % 8 == 0:
         from efficientsam3_tpu.ops.pallas.flash_attention import (
             NEG_INF,
             flash_memattn,
+            flash_memattn_q8,
         )
 
-        b, lk = q.shape[0], k.shape[-2]
+        b, lk = q.shape[0], k_arr.shape[-2]
         if mask is None:
             key_bias = jnp.zeros((b, lk), jnp.float32)
         else:
             key_bias = jnp.where(
                 mask[:, 0, 0, :], jnp.float32(0), jnp.float32(NEG_INF)
             )
+        if k_quant:
+            k_i8, k_scale = k
+            return flash_memattn_q8(
+                q, k_i8, k_scale[:, 0, :, 0], v_raw, key_bias,
+                1.0 / math.sqrt(d), return_lse=return_lse,
+            )
         return flash_memattn(q, k, v_raw, key_bias, 1.0 / math.sqrt(d),
                              return_lse=return_lse)
+    if k_quant:
+        k = (k[0].astype(jnp.float32) * k[1]).astype(q.dtype)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / math.sqrt(d)

@@ -572,6 +572,207 @@ def flash_memattn(q, k, v, key_bias, sm_scale=None, block_q=None,
     return out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq]
 
 
+def quantize_rows(x, scale_mul=1.0, eps=1e-8):
+    """Symmetric per-row int8 quantization over the last axis.
+
+    Returns (x_i8, scale) with x ~= x_i8 * scale, scale (..., 1) f32
+    pre-multiplied by scale_mul (callers fold the softmax temperature in
+    so the kernel pays ONE multiply per logit). Zero rows get scale
+    scale_mul*eps/127 (harmless: their logits are exactly 0)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps)
+    s = amax / 127.0
+    xi = jnp.round(xf / s).astype(jnp.int8)
+    return xi, s * scale_mul
+
+
+def _memattn_kernel_q8(kvalid_ref, k_ref, ks_ref, qt_ref, qs_ref, vt_ref,
+                       o_ref, acc_ref, m_ref, *, blocks_k: int, heads: int):
+    """_memattn_kernel with int8 K and Q^T and per-row f32 scales.
+
+    The QK product runs as an int8 x int8 -> int32 MXU dot (2x the bf16
+    rate on v5e, and the key bank streams at half the bytes); logits are
+    recovered as s_i32 * (k_scale ⊗ q_scale) with the softmax temperature
+    folded into q_scale. Masking rides the KEY SCALE: the wrapper sets
+    masked rows' scale to NEG_INF and the kernel uses where(ks < 0, -inf)
+    — no separate bias stream. Everything after the logits (online
+    softmax, folded denominator, transposed AV in bf16) is identical to
+    _memattn_kernel."""
+    ki = pl.program_id(2)
+    dv = o_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+
+    @pl.when(kvalid_ref[pl.program_id(0) // heads, ki] != 0)
+    def _block():
+        kb = k_ref[0]  # (bk, dk) int8
+        qt = qt_ref[0]  # (dk, bq) int8
+        ks = ks_ref[0]  # (bk, 1) f32; NEG_INF marks masked/pad rows
+        qs = qs_ref[0]  # (1, bq) f32, includes sm_scale
+        s_i = jax.lax.dot_general(
+            kb, qt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (bk, bq) i32
+        valid = ks > NEG_INF / 2
+        s_t = jnp.where(
+            valid, s_i.astype(jnp.float32) * jnp.where(valid, ks, 0.0) * qs,
+            NEG_INF,
+        )
+
+        m_prev = m_ref[:1, :]
+        m_cur = jnp.max(s_t, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s_t - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        bk = kb.shape[0]
+        vt_aug = jnp.concatenate(
+            [vt_ref[0], jnp.ones((8, bk), vt_ref.dtype)], axis=0
+        )
+        pv = jax.lax.dot_general(
+            vt_aug, p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(ki == blocks_k - 1)
+    def _finalize():
+        l = jnp.maximum(acc_ref[dv:dv + 1, :], 1e-30)
+        o_ref[0] = (acc_ref[:dv] / l).astype(o_ref.dtype)
+
+
+def _memattn_kernel_q8_lse(kvalid_ref, k_ref, ks_ref, qt_ref, qs_ref, vt_ref,
+                           o_ref, lse_ref, acc_ref, m_ref, *, blocks_k: int,
+                           heads: int):
+    _memattn_kernel_q8(
+        kvalid_ref, k_ref, ks_ref, qt_ref, qs_ref, vt_ref, o_ref, acc_ref,
+        m_ref, blocks_k=blocks_k, heads=heads,
+    )
+    ki = pl.program_id(2)
+    dv = o_ref.shape[1]
+
+    @pl.when(ki == blocks_k - 1)
+    def _write_lse():
+        m = m_ref[:1, :]
+        l = acc_ref[dv:dv + 1, :]
+        lse = jnp.where(m > NEG_INF / 2, m + jnp.log(jnp.maximum(l, 1e-30)),
+                        NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def flash_memattn_q8(q, k_i8, k_scale, v, key_bias, sm_scale=None,
+                     block_q=None, block_k=None, interpret=False,
+                     return_lse=False):
+    """flash_memattn over an int8-quantized key bank (quantize_rows).
+
+    q (B,H,Lq,Dk) float — quantized per query row here (one cheap pass
+    over ~5 MB vs the bank's ~37 MB/layer); k_i8 (B,H,Lk,Dk) int8 with
+    k_scale (B,Lk) f32 from the caller (the tracker quantizes the
+    age-adjusted bank once per frame per layer); v (B,H,Lk,Dv) float raw
+    values; key_bias (B,Lk) f32 0/-inf key mask. Lk must already be a
+    multiple of the kv block (padded_bank_len) — pad rows masked.
+
+    Opt-in serving mode: logits carry symmetric-int8 error (~1e-2
+    relative at the tracker's shapes, see test_flash_attention int8
+    cases); the bf16 path stays the default."""
+    b, h, lq, dk = q.shape
+    lk, dv = k_i8.shape[2], v.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(dk)
+    if block_q is None:
+        block_q = min((768, 896, 1024), key=lambda bq: (-lq) % bq)
+    if block_k is None:
+        block_k = 2048 if block_q * 2048 * 4 <= 6_500_000 else 512
+        for cand in range(block_k, block_k // 2, -128):
+            if lk % cand == 0:
+                block_k = cand
+                break
+    g = b * h
+    assert lk % block_k == 0, (
+        "flash_memattn_q8 requires a pre-padded key bank (padded_bank_len)"
+    )
+
+    pad_q = (-lq) % block_q
+    lqp = lq + pad_q
+    qi, qs = quantize_rows(q, scale_mul=sm_scale)
+    if pad_q:
+        qi = jnp.pad(qi, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+
+    blocks_k = lk // block_k
+    key_bias = key_bias.astype(jnp.float32)
+    kvalid = jnp.any(
+        key_bias.reshape(b, blocks_k, block_k) > NEG_INF / 2, axis=-1
+    ).astype(jnp.int32)
+    # fold the key mask into the scale stream: one (B, Lk) f32 input
+    ks_m = jnp.where(key_bias > NEG_INF / 2, k_scale, NEG_INF)[:, :, None]
+
+    qt = qi.transpose(0, 1, 3, 2).reshape(g, dk, lqp)
+    qs_t = qs.reshape(g, 1, lqp)
+    kg = k_i8.reshape(g, lk, dk)
+    vt = v.transpose(0, 1, 3, 2).reshape(g, dv, lk)
+
+    grid = (g, lqp // block_q, blocks_k)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, block_k, dk), lambda gi, qi_, ki: (gi, ki, 0)),
+        pl.BlockSpec(
+            (1, block_k, 1), lambda gi, qi_, ki, h_=h: (gi // h_, ki, 0)
+        ),
+        pl.BlockSpec((1, dk, block_q), lambda gi, qi_, ki: (gi, 0, qi_)),
+        pl.BlockSpec((1, 1, block_q), lambda gi, qi_, ki: (gi, 0, qi_)),
+        pl.BlockSpec((1, dv, block_k), lambda gi, qi_, ki: (gi, 0, ki)),
+    ]
+    scratch = [
+        pltpu.VMEM((dv + 8, block_q), jnp.float32),
+        pltpu.VMEM((8, block_q), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    o_spec = pl.BlockSpec((1, dv, block_q), lambda gi, qi_, ki: (gi, 0, qi_))
+    args = (kvalid, kg, ks_m, qt, qs_t, vt)
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _memattn_kernel_q8_lse, blocks_k=blocks_k, heads=h,
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                o_spec,
+                pl.BlockSpec(
+                    (1, 8, block_q), lambda gi, qi_, ki: (gi, 0, qi_)
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g, dv, lqp), v.dtype),
+                jax.ShapeDtypeStruct((g, 8, lqp), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(*args)
+        return (
+            out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq],
+            lse[:, 0].reshape(b, h, lqp)[:, :, :lq],
+        )
+    out = pl.pallas_call(
+        functools.partial(_memattn_kernel_q8, blocks_k=blocks_k, heads=h),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((g, dv, lqp), v.dtype),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, dv, lqp).transpose(0, 1, 3, 2)[:, :, :lq]
+
+
 def _xattn_rpb_kernel(q_ref, k_ref, v_ref, ey_ref, ex_ref, yoh_ref, xoh_ref,
                       o_ref, acc_ref, m_ref, l_ref, *, sm_scale: float,
                       blocks_k: int):

@@ -134,7 +134,7 @@ class TrackerPredictor:
                           multimask, max_tdiff=16.0):
             cond = core.apply(
                 v, tokens, pos, k_bank, v_bank, tpos, mem_valid, ptrs, tdiff,
-                pvalid, delta, max_tdiff,
+                pvalid, delta, max_tdiff, shared_ages=True,
                 method=core.condition_features_cached,
             )
             b = tokens.shape[0]

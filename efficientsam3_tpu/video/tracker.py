@@ -223,6 +223,8 @@ class TrackerCore(nn.Module):
         tpos_delta,  # (L, num_maskmem ages, S_e, C) from tpos_k_delta
         max_tdiff: float = 16.0,
         *,
+        shared_ages: bool = False,
+        quantize_bank: bool = False,
         train: bool = False,
     ):
         """condition_features over a cached bank: per frame only the
@@ -238,7 +240,23 @@ class TrackerCore(nn.Module):
         bank (no per-call pad copy); pointer keys are attended as a
         separate segment and merged by log-sum-exp
         (attend_projected_rawv_2seg) instead of concatenated. Pad rows are
-        masked via mem_mask."""
+        masked via mem_mask.
+
+        shared_ages=True (static): every slot holds the same frame per bank
+        column — the predictor's cached-bank precondition
+        (video/predictor.py _assemble_kv_bank) — so the age gather is one
+        (S_tot, C) table slice broadcast over slots instead of B private
+        copies (a ~4x HBM cut on the per-layer delta pass at 8 slots), and
+        the add covers the zero pad tail directly (delta pad rows are
+        zero), dropping the per-layer concat.
+
+        quantize_bank=True (static, opt-in serving mode): the age-adjusted
+        bank keys are symmetric-int8 row-quantized per frame and the QK
+        product runs on the int8 MXU path (2x the bf16 rate on v5e, half
+        the bank bytes streamed). Values, softmax, and AV stay exact
+        bf16/f32 — only the memory-key logits carry ~1e-2 relative
+        quantization noise (tests/test_memory_kv_cache.py pins the
+        end-to-end drift)."""
         n_layers, b, s_pad, c = k_bank.shape
         n_mem = mem_valid.shape[1]
         s_e = tpos_delta.shape[2]
@@ -276,11 +294,26 @@ class TrackerCore(nn.Module):
             # (valid) rows of the padded bank slice; explicit slice + add +
             # concat (NOT .at[].add, which lowers to a 2.6 ms scatter) —
             # pad rows are zeros and masked, so a fresh zero tail is exact
-            d_sel = tpos_delta[li][age].reshape(b, s_tot, c)
-            k_adj = k_bank[li, :, :s_tot] + d_sel.astype(k_bank.dtype)
-            if zero_tail is not None:
-                k_adj = jnp.concatenate([k_adj, zero_tail], axis=1)
-            k_mem_layers.append(k_adj[:, None])  # (B, 1, S_pad, C)
+            if shared_ages:
+                d_one = tpos_delta[li][age[0]].reshape(s_tot, c)
+                d_one = d_one.astype(k_bank.dtype)
+                if s_pad != s_tot:
+                    d_one = jnp.pad(d_one, ((0, s_pad - s_tot), (0, 0)))
+                k_adj = k_bank[li] + d_one[None]
+            else:
+                d_sel = tpos_delta[li][age].reshape(b, s_tot, c)
+                k_adj = k_bank[li, :, :s_tot] + d_sel.astype(k_bank.dtype)
+                if zero_tail is not None:
+                    k_adj = jnp.concatenate([k_adj, zero_tail], axis=1)
+            if quantize_bank:
+                from efficientsam3_tpu.ops.pallas.flash_attention import (
+                    quantize_rows,
+                )
+
+                k_i8, ks = quantize_rows(k_adj)
+                k_mem_layers.append((k_i8[:, None], ks[:, None]))
+            else:
+                k_mem_layers.append(k_adj[:, None])  # (B, 1, S_pad, C)
             k_in = ptr_tok + ptr_pos if layer.pos_enc_at_cross_attn_keys else ptr_tok
             kp, _ = layer.cross_attn_image.project_kv(
                 k_in, ptr_tok, grid_tokens=s_e,

@@ -69,7 +69,8 @@ def tracker_breakdown():
     def attn_sum(seed, v, pos, kb, vb, tpos, mvalid, ptrs, tdiff, pvalid, dl):
         cond = tracker.apply(
             v, tok_of(seed), pos, kb, vb, tpos, mvalid, ptrs, tdiff, pvalid,
-            dl, method=tracker.condition_features_cached,
+            dl, shared_ages=True,
+            method=tracker.condition_features_cached,
         )
         return jnp.sum(cond.astype(jnp.float32)) * 1e-6
 

@@ -110,7 +110,8 @@ def build_tracker():
         v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, 0, 0))
         cond = tracker.apply(
             v, tok, pos, k_bank, v_bank, tpos, mvalid, ptrs, tdiff, pvalid,
-            delta, method=tracker.condition_features_cached,
+            delta, shared_ages=True,
+            method=tracker.condition_features_cached,
         )
         pix = cond.reshape(s_obj, fs, fs, d)
         coords = jnp.zeros((s_obj, 1, 2))

