@@ -71,6 +71,7 @@ class TrackerPredictor:
         mf_threshold: float = 0.01,
         fill_hole_area: int = 0,
         cache_memory_kv: bool = True,
+        quantize_bank: bool = False,
         mesh=None,
         mesh_axis: str = "objects",
     ):
@@ -85,6 +86,7 @@ class TrackerPredictor:
         # trim keeps host memory bounded on long videos; memory selection is
         # the SAM2Long-style frame_filter (tracker_base.py:520)
         self.trim_past_non_cond_mem = trim_past_non_cond_mem
+        self.quantize_bank = quantize_bank
         self.use_memory_selection = use_memory_selection
         self.mf_threshold = mf_threshold
         self.fill_hole_area = fill_hole_area
@@ -135,6 +137,7 @@ class TrackerPredictor:
             cond = core.apply(
                 v, tokens, pos, k_bank, v_bank, tpos, mem_valid, ptrs, tdiff,
                 pvalid, delta, max_tdiff, shared_ages=True,
+                quantize_bank=quantize_bank,
                 method=core.condition_features_cached,
             )
             b = tokens.shape[0]

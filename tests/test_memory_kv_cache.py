@@ -203,3 +203,47 @@ def test_cached_quantized_bank_drift_bounded():
     assert rel < 2e-2, rel
     # and the exact path itself is untouched by the flag's default
     assert np.array_equal(outs[False], outs[False])
+
+
+def test_predictor_quantized_bank_propagation_close():
+    """VOS propagation with the int8 bank must stay mask-level faithful to
+    the exact cached path (serving-mode guarantee at the predictor level)."""
+    from efficientsam3_tpu.video.predictor import TrackerPredictor
+    from efficientsam3_tpu.video.tracker import (
+        TrackerCore,
+        init_tracker_variables,
+    )
+
+    core = TrackerCore(
+        image_size=64, backbone_stride=8, d_model=32, mem_dim=8,
+        num_maskmem=3, max_obj_ptrs=4,
+    )
+    variables = init_tracker_variables(core, jax.random.PRNGKey(0))
+    fs = core.feat_size
+
+    def encode_frame(img):
+        key = jax.random.PRNGKey(3)
+        s0 = jax.random.normal(key, (1, 4 * fs, 4 * fs, 32)) * 0.1
+        s1 = jax.random.normal(key, (1, 2 * fs, 2 * fs, 32)) * 0.1
+        top = jax.random.normal(key, (1, fs, fs, 32)) * 0.1 + img.mean() * 0.01
+        return {"sam2_fpn": [s0, s1, top]}
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((4, 64, 64, 3)).astype(np.float32)
+
+    masks = {}
+    for qz in (False, True):
+        pred = TrackerPredictor(
+            core, variables, encode_frame, obj_slots=2, max_point_prompts=4,
+            cache_memory_kv=True, quantize_bank=qz,
+        )
+        state = pred.init_state(frames)
+        pred.add_new_points_or_box(state, 0, obj_id=7, points=[[20, 20]],
+                                   labels=[1])
+        masks[qz] = [m.copy() for _, _, m in pred.propagate_in_video(state)]
+
+    for m_exact, m_q8 in zip(masks[False], masks[True]):
+        a, b = m_exact > 0, m_q8 > 0
+        inter, union = (a & b).sum(), (a | b).sum()
+        iou = 1.0 if union == 0 else inter / union
+        assert iou > 0.98, iou
