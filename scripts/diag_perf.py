@@ -148,6 +148,11 @@ def roofline():
     prompt = Prompt.empty(1, 4, 4)
     variables = jax.jit(model.init)(rng, img, tokens, prompt)
 
+    # text features cached per prompt, like bench.py's per-frame program
+    tmem, tmask = jax.jit(
+        lambda v, t: model.apply(v, t, method=model.encode_text)
+    )(variables, tokens)
+
     def prefix(v, x, what):
         if what == "trunk":
             r = model.apply(v, x, method=lambda m, a: m.trunk(a, train=False))
@@ -156,7 +161,6 @@ def roofline():
         acc = sum(jnp.sum(f.astype(jnp.float32)) for f in img_out["fpn"]) * 1e-6
         if what == "image":
             return acc
-        tmem, tmask = model.apply(v, tokens, method=model.encode_text)
         out = model.apply(
             v, img_out["fpn"], img_out["pos"], tmem, tmask, prompt,
             stage=what if what != "full" else None, method=model.ground,
