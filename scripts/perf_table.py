@@ -34,6 +34,8 @@ ROWS = [
     ("batch-8 throughput img/s", lambda p, e: e.get("batch8_throughput_img_s")),
     ("tracker step ms/frame (8 slots)", lambda p, e: e.get("tracker_step_ms_frame")),
     ("tracker step, cached K/V ms/frame", lambda p, e: e.get("tracker_step_cached_ms_frame")),
+    ("tracker step, cached + int8 bank ms/frame", lambda p, e: e.get("tracker_step_cached_q8_ms_frame")),
+    ("text encode (once per prompt) ms", lambda p, e: e.get("text_encode_ms_once")),
     ("SAM1 point prompt ms/frame", lambda p, e: e.get("sam1_point_prompt_ms_frame")),
     ("video-PCS frame ms (det+track, 8 obj)", lambda p, e: e.get("video_pcs_ms_frame")),
     ("video-PCS FPS", lambda p, e: e.get("video_pcs_fps")),
