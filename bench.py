@@ -143,6 +143,44 @@ def two_point_step_time(jax, jnp, step_sum, n, args=()):
     return max(t_2n - t_n, 1e-9) / n
 
 
+def make_scanned_carry(jax, jnp, step_sum, n, n_carry):
+    """make_scanned where the first n_carry args are scan CARRIES that the
+    step updates in place and threads forward — how the predictor's
+    persistent ring K/V bank actually lives (a donated-buffer jit updates
+    one column per frame). As invariant scan inputs, XLA must materialize
+    a fresh copy of the whole ~600 MB bank per iteration (measured
+    ~1.8 ms/frame of pure copy at flagship dims) that production never
+    pays; as carries, the dynamic-update-slice is in-place."""
+
+    @jax.jit
+    def run(*args):
+        def body(carry, s):
+            acc, st = carry
+            val, st = step_sum(s, st, *args[n_carry:])
+            return (acc + val, st), ()
+
+        (tot, _), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), tuple(args[:n_carry])),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+        return tot
+
+    return run
+
+
+def two_point_step_time_carry(jax, jnp, step_sum, n, n_carry, args):
+    """two_point_step_time with leading carry args (see make_scanned_carry).
+
+    step_sum(seed, carry_tuple, *rest) -> (f32 scalar, new_carry_tuple)."""
+    run_n = make_scanned_carry(jax, jnp, step_sum, n, n_carry)
+    run_2n = make_scanned_carry(jax, jnp, step_sum, 2 * n, n_carry)
+    _forced(run_n, args)
+    _forced(run_2n, args)
+    t_n = time_forced(run_n, args)
+    t_2n = time_forced(run_2n, args)
+    return max(t_2n - t_n, 1e-9) / n
+
+
 def main():
     import numpy as np
 
@@ -358,13 +396,17 @@ def main():
         lambda v: tracker.apply(v, method=tracker.tpos_k_delta)
     )(tvars)
 
-    def track_cached_sum(seed, v, pos, k_bank, v_bank, k_e, v_e, tpos,
+    def track_cached_sum(seed, st, v, pos, k_e, v_e, tpos,
                          mvalid, ptrs, tdiff, pvalid, s0, s1, delta):
+        k_bank, v_bank = st
         tok = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(11), seed),
             (s_obj, fs * fs, d), jnp.float32,
         )
-        # per-frame bank maintenance: the newest entry replaces a column
+        # per-frame bank maintenance: the newest entry replaces a column.
+        # The bank is a scan CARRY (make_scanned_carry): in production it
+        # is a persistent donated buffer and the DUS is in place — as an
+        # invariant input the whole ~600 MB bank would be copied per frame.
         row = jnp.mod(seed, n_mem) * s_e_bank
         k_bank = jax.lax.dynamic_update_slice(k_bank, k_e, (0, 0, row, 0))
         v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, row, 0))
@@ -392,12 +434,13 @@ def main():
             + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
             + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
-        )
+        ), (k_bank, v_bank)
 
-    tcargs = (tvars, pos, k_bank0, v_bank0, k_entries[0], v_entries[0],
+    tcargs = (k_bank0, v_bank0, tvars, pos, k_entries[0], v_entries[0],
               tpos, mvalid, ptrs, tdiff, pvalid, s0, s1, kv_delta)
     extras["tracker_step_cached_ms_frame"] = round(
-        two_point_step_time(jax, jnp, track_cached_sum, 32, tcargs) * 1e3, 3
+        two_point_step_time_carry(jax, jnp, track_cached_sum, 32, 2, tcargs)
+        * 1e3, 3
     )
 
     # ---- int8-bank serving mode (opt-in, quantize_bank=True): the
@@ -405,8 +448,9 @@ def main():
     # and QK runs on the int8 MXU (2x bf16 on v5e, half the bank bytes).
     # Exactness bound: tests/test_memory_kv_cache.py
     # test_cached_quantized_bank_drift_bounded (<2e-2 relative).
-    def track_cached_q8_sum(seed, v, pos, k_bank, v_bank, k_e, v_e, tpos,
+    def track_cached_q8_sum(seed, st, v, pos, k_e, v_e, tpos,
                             mvalid, ptrs, tdiff, pvalid, s0, s1, delta):
+        k_bank, v_bank = st
         tok = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(11), seed),
             (s_obj, fs * fs, d), jnp.float32,
@@ -438,10 +482,11 @@ def main():
             + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
             + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
-        )
+        ), (k_bank, v_bank)
 
     extras["tracker_step_cached_q8_ms_frame"] = round(
-        two_point_step_time(jax, jnp, track_cached_q8_sum, 32, tcargs) * 1e3, 3
+        two_point_step_time_carry(jax, jnp, track_cached_q8_sum, 32, 2,
+                                  tcargs) * 1e3, 3
     )
 
     # ---- full video-PCS frame (VERDICT r3 #5): the work of ONE
@@ -460,8 +505,9 @@ def main():
 
     n_dets = 20
 
-    def video_pcs_sum(seed, v, tv, pos, k_bank, v_bank, k_e, v_e, tpos,
+    def video_pcs_sum(seed, st, v, tv, pos, k_e, v_e, tpos,
                       mvalid, ptrs, tdiff, pvalid, s0, s1, delta):
+        k_bank, v_bank = st
         x = jax.random.uniform(
             jax.random.fold_in(jax.random.PRNGKey(23), seed),
             (1, 1008, 1008, 3), jnp.float32,
@@ -506,14 +552,15 @@ def main():
         ious = mask_iou(det_masks & keep[:, None, None], trk_masks)
         return (
             jnp.sum(ious.astype(jnp.float32))
-            + jnp.sum(heads["low_res_masks"].astype(jnp.float32)) * 1e-6
+            + jnp.sum(heads["low_res_masks"].astype(jnp.float32) * 1e-6)
             + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
             + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
-        )
+        ), (k_bank, v_bank)
 
-    vp_args = (variables,) + tcargs
-    vp_ms = two_point_step_time(jax, jnp, video_pcs_sum, 8, vp_args) * 1e3
+    vp_args = (k_bank0, v_bank0, variables) + tcargs[2:]
+    vp_ms = two_point_step_time_carry(
+        jax, jnp, video_pcs_sum, 8, 2, vp_args) * 1e3
 
     # step 5's hole filling, as the pipeline actually runs it: host C++
     # run-based union-find (ops/cc.fill_holes_in_mask_scores_host,

@@ -103,9 +103,12 @@ def build_tracker():
     tok = jax.random.uniform(
         jax.random.PRNGKey(11), (s_obj, fs * fs, d), jnp.float32)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4))
     def step(v, tok, pos, k_bank, v_bank, k_e, v_e, delta):
-        # persistent flat bank in predictor state: one column DUS per frame
+        # persistent flat bank in predictor state: one column DUS per frame,
+        # in place (banks donated + returned, like the predictor's buffers)
         k_bank = jax.lax.dynamic_update_slice(k_bank, k_e, (0, 0, 0, 0))
         v_bank = jax.lax.dynamic_update_slice(v_bank, v_e, (0, 0, 0))
         cond = tracker.apply(
@@ -131,10 +134,16 @@ def build_tracker():
             + jnp.sum(heads["obj_ptr"].astype(jnp.float32))
             + jnp.sum(k_new.astype(jnp.float32)) * 1e-6
             + jnp.sum(v_new.astype(jnp.float32)) * 1e-6
-        )
+        ), (k_bank, v_bank)
 
-    return step, (tvars, tok, pos, k_bank0, v_bank0, k_entries[0],
-                  v_entries[0], kv_delta)
+    def step_persistent(v, tok, pos, k_bank, v_bank, k_e, v_e, delta,
+                        _st={}):
+        kb, vb = _st.get("banks", (k_bank, v_bank))
+        out, _st["banks"] = step(v, tok, pos, kb, vb, k_e, v_e, delta)
+        return out
+
+    return step_persistent, (tvars, tok, pos, k_bank0, v_bank0,
+                             k_entries[0], v_entries[0], kv_delta)
 
 
 def main():
